@@ -1,0 +1,15 @@
+from .config_utils import CN, CfgNode, cfg_to_dict, load_cfg_file, merge_cfg
+from .misc import (colorize_part_pc, pickle_dump, pickle_load, save_pc,
+                   wd_param_mask)
+from .rotation import (Rotation3D, axis_angle_to_matrix,
+                       axis_angle_to_quaternion, matrix_to_axis_angle,
+                       matrix_to_quaternion, qeuler, quaternion_apply,
+                       quaternion_invert, quaternion_multiply,
+                       quaternion_to_axis_angle, quaternion_to_matrix,
+                       rot6d_to_matrix, standardize_quaternion)
+from .transforms import (qmul, qrmat, qrot, qrot_np, qtransform,
+                         qtransform_invert, qtransform_np,
+                         quaternion_to_rmat, random_quaternions,
+                         random_rotation_matrixs, rmat_rot, rmat_rot_np,
+                         rmat_transform, rmat_transform_np, rmatq, rot_pc,
+                         trans_quat_to_pmat, trans_rmat_to_pmat, transform_pc)
