@@ -1,0 +1,462 @@
+"""Chamfer distance: the hottest op in the framework.
+
+TPU-native replacement for the reference's CUDA extension
+(reference: multi_part_assembly/utils/chamfer/cuda/chamfer_kernel.cu:32-95
+forward shared-memory tiled min-scan; :176-210 atomicAdd backward;
+multi_part_assembly/utils/chamfer/chamfer.py:36-64 public API).
+
+Design notes (TPU):
+  - Points are kept in a transposed ``[B, 3, N]`` layout inside the kernel so
+    the large N axis is on the 128-lane dimension (a ``[N, 3]`` block would
+    waste 125/128 lanes of VMEM).
+  - The pairwise term uses the identity ``|x-y|^2 = |x|^2 + |y|^2 - 2 x.y``;
+    the ``x.y`` cross term is a small-K matmul driven to the MXU, and the
+    min/argmin reduction is a VPU running reduction over y-tiles, so the
+    O(N1*N2) distance matrix is never materialized in HBM (the CUDA kernel
+    tiled through shared memory for the same reason).
+  - The backward uses the saved argmin indices: the gradient of a min is the
+    gradient through its witness pair, giving a gather for the query side and
+    a scatter-add for the target side (the CUDA kernel used atomicAdd; XLA
+    scatter-add plays that role here).
+  - Forward math stays in float32: bf16 coordinate products lose ~1e-3
+    relative accuracy which is the same order as the 0.01 part-accuracy
+    threshold (the CUDA ext pinned float32 via AMP ``custom_fwd`` too,
+    chamfer.py:14).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu only resolves on TPU builds; tests run in interpret mode
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PLTPU = True
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+__all__ = ['chamfer_distance', 'nn_distance', 'chamfer_distance_ref']
+
+_PAD_VAL = 1e6  # padding coordinate: far from everything, no f32 overflow
+
+
+# ---------------------------------------------------------------------------
+# pure-jnp reference (used for testing and tiny inputs)
+# ---------------------------------------------------------------------------
+
+
+def _pairwise_sqdist(x, y):
+    """[B, N1, 3] x [B, N2, 3] -> [B, N1, N2] squared distances (f32 exact)."""
+    x2 = jnp.sum(x * x, axis=-1)
+    y2 = jnp.sum(y * y, axis=-1)
+    xy = jax.lax.dot_general(
+        x, y, (((2, ), (2, )), ((0, ), (0, ))),
+        precision=jax.lax.Precision.HIGHEST)
+    return x2[:, :, None] + y2[:, None, :] - 2.0 * xy
+
+
+def chamfer_distance_ref(xyz1, xyz2):
+    """Naive full-matrix chamfer; returns (dist1, idx1, dist2, idx2)."""
+    d = _pairwise_sqdist(xyz1, xyz2)
+    dist1 = jnp.min(d, axis=2)
+    idx1 = jnp.argmin(d, axis=2).astype(jnp.int32)
+    dist2 = jnp.min(d, axis=1)
+    idx2 = jnp.argmin(d, axis=1).astype(jnp.int32)
+    return dist1, idx1, dist2, idx2
+
+
+# ---------------------------------------------------------------------------
+# pallas tiled forward
+# ---------------------------------------------------------------------------
+
+
+def _nn_kernel(xt_ref, yt_ref, dist_ref, idx_ref, *, tn, n2):
+    """One (batch, x-tile) program: nearest-neighbor dist/argmin into y.
+
+    xt_ref: [1, 8, TM]  (3 coordinate rows, sublane-padded to 8)
+    yt_ref: [1, 8, N2]
+    dist_ref: [1, 8, TM] f32;  idx_ref: [1, 8, TM] i32 (row 0 is the result;
+    the 8-row sublane padding satisfies TPU tiling)
+    """
+    xt = xt_ref[0, :3, :]  # [3, TM]
+    x2 = jnp.sum(xt * xt, axis=0)  # [TM]
+    tm = xt.shape[-1]
+    n_chunks = n2 // tn
+
+    def body(j, carry):
+        best, best_idx = carry
+        yj = yt_ref[0, :3, pl.ds(j * tn, tn)]  # [3, TN]
+        y2 = jnp.sum(yj * yj, axis=0)  # [TN]
+        cross = jax.lax.dot_general(
+            xt, yj, (((0, ), (0, )), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # [TM, TN]
+        d = x2[:, None] + y2[None, :] - 2.0 * cross
+        chunk_min = jnp.min(d, axis=1)
+        chunk_arg = jnp.argmin(d, axis=1).astype(jnp.int32) + j * tn
+        take = chunk_min < best
+        return (jnp.where(take, chunk_min, best),
+                jnp.where(take, chunk_arg, best_idx))
+
+    init = (jnp.full((tm, ), jnp.inf, jnp.float32),
+            jnp.zeros((tm, ), jnp.int32))
+    best, best_idx = jax.lax.fori_loop(0, n_chunks, body, init)
+    dist_ref[0, 0, :] = jnp.maximum(best, 0.0)  # clamp fp cancellation noise
+    idx_ref[0, 0, :] = best_idx
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=('interpret', ))
+def _nn_direction_pallas(x, y, interpret=False):
+    """dist/idx of nearest y for each x.  x: [B, N1, 3], y: [B, N2, 3]."""
+    B, N1, _ = x.shape
+    N2 = y.shape[1]
+    TM = 512 if N1 >= 512 else _round_up(N1, 128)
+    TN = 1024 if N2 >= 1024 else _round_up(N2, 128)
+    N1p = _round_up(N1, TM)
+    N2p = _round_up(N2, TN)
+
+    # transpose to [B, 8, N] (sublane-pad 3 -> 8) and pad the point axis
+    def prep(p, npad):
+        pt = jnp.swapaxes(p, 1, 2)  # [B, 3, N]
+        pt = jnp.pad(pt, ((0, 0), (0, 5), (0, npad - p.shape[1])),
+                     constant_values=_PAD_VAL)
+        return pt
+
+    xt = prep(x, N1p)
+    yt = prep(y, N2p)
+
+    grid = (B, N1p // TM)
+    dist, idx = pl.pallas_call(
+        functools.partial(_nn_kernel, tn=TN, n2=N2p),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8, TM), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, 8, N2p), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, TM), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, 8, TM), lambda b, i: (b, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 8, N1p), jnp.float32),
+            jax.ShapeDtypeStruct((B, 8, N1p), jnp.int32),
+        ],
+        interpret=interpret,
+    )(xt, yt)
+    return dist[:, 0, :N1], jnp.minimum(idx[:, 0, :N1], N2 - 1)
+
+
+def _nn_direction(x, y, interpret=False):
+    """Dispatch: pallas on TPU-shaped problems, jnp reference otherwise."""
+    N1, N2 = x.shape[1], y.shape[1]
+    on_tpu = jax.default_backend() == 'tpu' or any(
+        d.platform == 'tpu' for d in jax.devices()) if not interpret else False
+    if interpret or (on_tpu and N1 * N2 >= 128 * 128):
+        return _nn_direction_pallas(x, y, interpret=interpret)
+    d = _pairwise_sqdist(x, y)
+    return jnp.maximum(jnp.min(d, axis=2), 0.0), \
+        jnp.argmin(d, axis=2).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def _chamfer(xyz1, xyz2):
+    dist1, _ = _nn_direction(xyz1, xyz2)
+    dist2, _ = _nn_direction(xyz2, xyz1)
+    return dist1, dist2
+
+
+def _chamfer_fwd(xyz1, xyz2):
+    dist1, idx1 = _nn_direction(xyz1, xyz2)
+    dist2, idx2 = _nn_direction(xyz2, xyz1)
+    return (dist1, dist2), (xyz1, xyz2, idx1, idx2)
+
+
+def _chamfer_bwd(res, grads):
+    xyz1, xyz2, idx1, idx2 = res
+    g1, g2 = grads  # [B, N1], [B, N2]
+    # direction 1: dist1_i = |x_i - y_{idx1_i}|^2
+    y_w = jnp.take_along_axis(xyz2, idx1[..., None], axis=1)  # [B, N1, 3]
+    diff1 = 2.0 * g1[..., None] * (xyz1 - y_w)
+    # direction 2: dist2_j = |y_j - x_{idx2_j}|^2
+    x_w = jnp.take_along_axis(xyz1, idx2[..., None], axis=1)  # [B, N2, 3]
+    diff2 = 2.0 * g2[..., None] * (xyz2 - x_w)
+
+    dx = diff1
+    dy = diff2
+    # scatter-add the witness-side contributions (CUDA atomicAdd equivalent,
+    # chamfer_kernel.cu:203-208)
+    dy = dy + jnp.zeros_like(xyz2).at[
+        jnp.arange(xyz1.shape[0])[:, None], idx1].add(-diff1)
+    dx = dx + jnp.zeros_like(xyz1).at[
+        jnp.arange(xyz2.shape[0])[:, None], idx2].add(-diff2)
+    return dx, dy
+
+
+_chamfer.defvjp(_chamfer_fwd, _chamfer_bwd)
+
+
+# ---------------------------------------------------------------------------
+# part-structured chamfer: skips padded parts entirely
+# ---------------------------------------------------------------------------
+#
+# The reference's `shape_cd_loss` (utils/loss.py:141-202) computes a dense
+# [B, P*N, P*N] chamfer after pushing padded parts 1e3 away.  Since valid
+# parts are always a *prefix* of the P axis (both datasets left-pack parts),
+# a TPU kernel can instead loop only over the `n_parts[b]` valid parts via a
+# scalar-prefetched part count -- typical Breaking-Bad shapes use 2-8 of 20
+# slots, so this skips >80% of the O((P*N)^2) work with identical masked
+# semantics.
+
+
+def _aug_x(p, npad):
+    """[B, P, N, 3] -> [B, P, 8, Npad] rows (x, y, z, 1, 0...)."""
+    B, P, N, _ = p.shape
+    pt = jnp.swapaxes(p, 2, 3)  # [B, P, 3, N]
+    pt = jnp.pad(pt, ((0, 0), (0, 0), (0, 0), (0, npad - N)),
+                 constant_values=_PAD_VAL)
+    ones = jnp.ones((B, P, 1, npad), pt.dtype)
+    zeros = jnp.zeros((B, P, 4, npad), pt.dtype)
+    return jnp.concatenate([pt, ones, zeros], axis=2)
+
+
+def _aug_y(p, npad):
+    """[B, P, N, 3] -> [B, P, 8, Npad] rows (-2x, -2y, -2z, |p|^2, 0...)."""
+    B, P, N, _ = p.shape
+    pt = jnp.swapaxes(p, 2, 3)
+    pt = jnp.pad(pt, ((0, 0), (0, 0), (0, 0), (0, npad - N)),
+                 constant_values=_PAD_VAL)
+    sq = jnp.sum(pt * pt, axis=2, keepdims=True)  # [B, P, 1, Npad]
+    zeros = jnp.zeros((B, P, 4, npad), pt.dtype)
+    return jnp.concatenate([-2.0 * pt, sq, zeros], axis=2)
+
+
+def _nn_parts_kernel(nparts_ref, x_ref, y_ref, dist_ref, idx_ref, *, npad,
+                     max_parts):
+    """Per-(batch, part) nearest neighbor across all valid parts of y.
+
+    x_ref: [1, 1, 8, Npad] augmented query part
+    y_ref: [1, P, 8, Npad] all augmented target parts of this batch element
+    dist_ref/idx_ref: [1, 1, 8, Npad] (row 0 valid)
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    n_p = nparts_ref[b]
+
+    @pl.when(i >= n_p)
+    def _():
+        dist_ref[0, 0, 0, :] = jnp.zeros((npad, ), jnp.float32)
+        idx_ref[0, 0, 0, :] = jnp.zeros((npad, ), jnp.int32)
+
+    @pl.when(i < n_p)
+    def _():
+        xa = x_ref[0, 0]  # [8, Npad], rows (x, y, z, 1, 0*4)
+        x2 = jnp.sum(xa[:3, :] * xa[:3, :], axis=0)  # [Npad]
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 1)
+
+        def body(j, carry):
+            best, best_idx = carry
+            ya = y_ref[0, j]  # [8, Npad], rows (-2x, -2y, -2z, |y|^2, 0*4)
+            # chunk[m, n] = |y_n|^2 - 2 x_m . y_n  (min-shifted distance)
+            chunk = jax.lax.dot_general(
+                xa, ya, (((0, ), (0, )), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            m = jnp.min(chunk, axis=1)
+            local = jnp.min(
+                jnp.where(chunk == m[:, None], col_ids, npad), axis=1)
+            gidx = (j * npad + local).astype(jnp.int32)
+            take = m < best
+            return (jnp.where(take, m, best),
+                    jnp.where(take, gidx, best_idx))
+
+        init = (jnp.full((npad, ), jnp.inf, jnp.float32),
+                jnp.zeros((npad, ), jnp.int32))
+        best, best_idx = jax.lax.fori_loop(0, n_p, body, init)
+        dist_ref[0, 0, 0, :] = jnp.maximum(best + x2, 0.0)
+        idx_ref[0, 0, 0, :] = best_idx
+
+
+@functools.partial(jax.jit, static_argnames=('interpret', ))
+def _nn_parts_pallas(x, y, n_parts, interpret=False):
+    """Part-structured NN search.
+
+    Args:
+        x: [B, P, N, 3] query parts;  y: [B, P, N, 3] target parts
+        n_parts: [B] int32 number of valid (prefix) parts
+
+    Returns:
+        dist: [B, P, N] squared NN distance (0 for invalid parts)
+        idx:  [B, P, N] flat index into y viewed as [B, P*Npad, 3] (Npad-padded)
+    """
+    B, P, N, _ = x.shape
+    npad = _round_up(N, 128)
+    xa = _aug_x(x.astype(jnp.float32), npad)
+    ya = _aug_y(y.astype(jnp.float32), npad)
+
+    on_tpu = any(d.platform == 'tpu' for d in jax.devices())
+    if _HAS_PLTPU and on_tpu and not interpret:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, P),
+            in_specs=[
+                pl.BlockSpec((1, 1, 8, npad), lambda b, i, nref: (b, i, 0, 0)),
+                pl.BlockSpec((1, P, 8, npad), lambda b, i, nref: (b, 0, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, 8, npad), lambda b, i, nref: (b, i, 0, 0)),
+                pl.BlockSpec((1, 1, 8, npad), lambda b, i, nref: (b, i, 0, 0)),
+            ],
+        )
+        dist, idx = pl.pallas_call(
+            functools.partial(
+                _nn_parts_kernel, npad=npad, max_parts=P),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((B, P, 8, npad), jnp.float32),
+                jax.ShapeDtypeStruct((B, P, 8, npad), jnp.int32),
+            ],
+            interpret=interpret,
+        )(n_parts.astype(jnp.int32), xa, ya)
+    else:
+        # interpret path: PrefetchScalarGridSpec is TPU-only; emulate with
+        # grid-free masked jnp (same math) for CPU testing
+        return _nn_parts_ref(x, y, n_parts, npad)
+    return dist[:, :, 0, :N], idx[:, :, 0, :N]
+
+
+def _nn_parts_ref(x, y, n_parts, npad=None):
+    """jnp reference for the part-structured NN (used on CPU / in tests)."""
+    B, P, N, _ = x.shape
+    npad = npad or N
+    part_valid = jnp.arange(P)[None, :] < n_parts[:, None]  # [B, P]
+    yf = y.reshape(B, P * N, 3)
+    point_valid = jnp.repeat(part_valid, N, axis=1)  # [B, P*N]
+    d = _pairwise_sqdist(x.reshape(B, P * N, 3), yf)  # [B, P*N, P*N]
+    d = jnp.where(point_valid[:, None, :], d, jnp.inf)
+    dist = jnp.min(d, axis=2)
+    idx = jnp.argmin(d, axis=2).astype(jnp.int32)
+    # remap flat [P*N] index to the [P*Npad] convention of the pallas kernel
+    idx = (idx // N) * npad + idx % N
+    dist = jnp.where(point_valid, jnp.maximum(dist, 0.0), 0.0)
+    idx = jnp.where(point_valid, idx, 0)
+    return dist.reshape(B, P, N), idx.reshape(B, P, N)
+
+
+def _parts_bwd_one(g, x, y, idx, npad):
+    """Gradient of one direction: d_i = |x_i - y_{idx_i}|^2."""
+    B, P, N, _ = x.shape
+    ypad = jnp.pad(y, ((0, 0), (0, 0), (0, npad - N), (0, 0)))
+    yf = ypad.reshape(B, P * npad, 3)
+    idxf = jnp.clip(idx.reshape(B, P * N), 0, P * npad - 1)
+    w = jnp.take_along_axis(yf, idxf[..., None], axis=1)  # [B, P*N, 3]
+    diff = 2.0 * g.reshape(B, P * N, 1) * (x.reshape(B, P * N, 3) - w)
+    dx = diff.reshape(B, P, N, 3)
+    dyf = jnp.zeros_like(yf).at[jnp.arange(B)[:, None], idxf].add(-diff)
+    dy = dyf.reshape(B, P, npad, 3)[:, :, :N, :]
+    return dx, dy
+
+
+def chamfer_parts(part_pcs1, part_pcs2, valids):
+    """Chamfer between two whole shapes stored as padded parts.
+
+    Equivalent to the reference's whole-shape chamfer over [B, P*N, 3] with
+    padded parts pushed far away (loss.py:172-182), but skips padded parts
+    on-device.  Valid parts must be a prefix (true for both datasets).
+
+    Args:
+        part_pcs1 / part_pcs2: [B, P, N, 3] (already posed)
+        valids: [B, P] 1/0 float mask
+
+    Returns:
+        dist1, dist2: [B, P*N] squared distances (0 at padded entries)
+    """
+    B, P, N, _ = part_pcs1.shape
+    n_parts = jnp.sum(valids.astype(jnp.int32), axis=1)
+    d1, d2 = _chamfer_parts_core(part_pcs1, part_pcs2, n_parts)
+    return d1.reshape(B, P * N), d2.reshape(B, P * N)
+
+
+@jax.custom_vjp
+def _chamfer_parts_core(xyz1, xyz2, n_parts):
+    d1, _ = _nn_parts_pallas(xyz1, xyz2, n_parts)
+    d2, _ = _nn_parts_pallas(xyz2, xyz1, n_parts)
+    return d1, d2
+
+
+def _chamfer_parts_core_fwd(xyz1, xyz2, n_parts):
+    d1, i1 = _nn_parts_pallas(xyz1, xyz2, n_parts)
+    d2, i2 = _nn_parts_pallas(xyz2, xyz1, n_parts)
+    return (d1, d2), (xyz1, xyz2, i1, i2, n_parts)
+
+
+def _chamfer_parts_core_bwd(res, grads):
+    xyz1, xyz2, i1, i2, n_parts = res
+    g1, g2 = grads
+    P, N = xyz1.shape[1], xyz1.shape[2]
+    npad = _round_up(N, 128)
+    # zero cotangents at padded parts: their dist outputs are sentinel zeros
+    # with garbage witness indices
+    part_valid = (jnp.arange(P)[None, :] < n_parts[:, None])[..., None]
+    g1 = jnp.where(part_valid, g1, 0.0)
+    g2 = jnp.where(part_valid, g2, 0.0)
+    dx_a, dy_a = _parts_bwd_one(g1, xyz1, xyz2, i1, npad)
+    dy_b, dx_b = _parts_bwd_one(g2, xyz2, xyz1, i2, npad)
+    return dx_a + dx_b, dy_a + dy_b, None
+
+
+_chamfer_parts_core.defvjp(_chamfer_parts_core_fwd, _chamfer_parts_core_bwd)
+
+
+def chamfer_distance(xyz1, xyz2, transpose=False, sqrt=False, eps=1e-12):
+    """Chamfer distance between two batched point clouds.
+
+    Mirrors the reference API (utils/chamfer/chamfer.py:36-64).
+
+    Args:
+        xyz1: [B, N1, 3] (or [B, 3, N1] with transpose=True)
+        xyz2: [B, N2, 3]
+        transpose: whether the coordinate axis comes first
+        sqrt: return sqrt of the squared distances
+
+    Returns:
+        (dist1 [B, N1], dist2 [B, N2])
+    """
+    if xyz1.ndim == 2:
+        xyz1 = xyz1[None]
+        xyz2 = xyz2[None]
+    if transpose:
+        xyz1 = jnp.swapaxes(xyz1, 1, 2)
+        xyz2 = jnp.swapaxes(xyz2, 1, 2)
+    xyz1 = xyz1.astype(jnp.float32)
+    xyz2 = xyz2.astype(jnp.float32)
+    dist1, dist2 = _chamfer(xyz1, xyz2)
+    if sqrt:
+        dist1 = jnp.sqrt(jnp.maximum(dist1, eps))
+        dist2 = jnp.sqrt(jnp.maximum(dist2, eps))
+    return dist1, dist2
+
+
+def nn_distance(xyz1, xyz2, transpose=False, sqrt=False):
+    """Chamfer plus argmin indices (reference chamfer.py:67-76)."""
+    if transpose:
+        xyz1 = jnp.swapaxes(xyz1, 1, 2)
+        xyz2 = jnp.swapaxes(xyz2, 1, 2)
+    xyz1 = xyz1.astype(jnp.float32)
+    xyz2 = xyz2.astype(jnp.float32)
+    dist1, idx1 = _nn_direction(xyz1, xyz2)
+    dist2, idx2 = _nn_direction(xyz2, xyz1)
+    if sqrt:
+        dist1 = jnp.sqrt(jnp.maximum(dist1, 1e-12))
+        dist2 = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+    return dist1, idx1, dist2, idx2
