@@ -1,4 +1,9 @@
 from .config_utils import CN, CfgNode, cfg_to_dict, load_cfg_file, merge_cfg
+from .eval_utils import (calc_connectivity_acc, calc_part_acc, rot_metrics,
+                         trans_metrics)
+from .loss import (_valid_mean, repulsion_cd_loss, rot_cosine_loss,
+                   rot_l2_loss, rot_points_cd_loss, rot_points_l2_loss,
+                   shape_cd_loss, trans_l2_loss)
 from .misc import (colorize_part_pc, pickle_dump, pickle_load, save_pc,
                    wd_param_mask)
 from .rotation import (Rotation3D, axis_angle_to_matrix,
