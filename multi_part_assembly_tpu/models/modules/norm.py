@@ -1,0 +1,65 @@
+"""Masked BatchNorm for fixed-shape padded batches.
+
+The reference runs its BN-heavy encoders only on valid parts by boolean
+indexing (`part_pcs[valid_mask]`, e.g. b_global/network.py:45-54), which is
+a dynamic shape.  On TPU we keep the padded [B*P, ...] layout and instead
+compute the batch statistics as *weighted* moments with the validity mask,
+which is numerically identical to BN over the compacted valid set and keeps
+every shape static.
+
+Under pjit with the batch axis sharded, the jnp means are global means (XLA
+inserts the cross-replica collectives), i.e. sync-BN semantics; the
+reference's per-GPU DDP BN is a noisier estimate of the same thing.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ['MaskedBatchNorm']
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d/2d equivalent with an optional validity mask.
+
+    Stats reduce over every axis except the last (channel) axis, weighted by
+    `mask` (broadcastable to x's shape minus the channel dim).
+    """
+
+    momentum: float = 0.9  # running = momentum * old + (1 - momentum) * new
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, train=True):
+        features = x.shape[-1]
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda s: jnp.zeros(s, jnp.float32),
+                                (features, ))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda s: jnp.ones(s, jnp.float32),
+                               (features, ))
+        scale = self.param('scale', nn.initializers.ones, (features, ))
+        bias = self.param('bias', nn.initializers.zeros, (features, ))
+
+        if train:
+            reduce_axes = tuple(range(x.ndim - 1))
+            if mask is None:
+                mean = jnp.mean(x, axis=reduce_axes)
+                var = jnp.mean((x - mean)**2, axis=reduce_axes)
+            else:
+                w = jnp.broadcast_to(mask[..., None].astype(x.dtype),
+                                     x.shape)
+                denom = jnp.maximum(jnp.sum(w, axis=reduce_axes), 1.0)
+                mean = jnp.sum(x * w, axis=reduce_axes) / denom
+                var = jnp.sum(w * (x - mean)**2, axis=reduce_axes) / denom
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + \
+                    (1.0 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + \
+                    (1.0 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
