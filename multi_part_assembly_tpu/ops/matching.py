@@ -153,6 +153,12 @@ def match_parts(part_pcs, pred_trans, pred_rot, gt_trans, gt_rot, match_ids,
     Returns:
         (new_gt_trans, new_gt_rot) with rows permuted within groups.
     """
+    # matching is not differentiated (reference wraps it in no_grad,
+    # base_model.py:146); stop gradients so the LAP while_loops never see
+    # cotangents
+    part_pcs, pred_trans, pred_rot, gt_trans, gt_rot = map(
+        jax.lax.stop_gradient,
+        (part_pcs, pred_trans, pred_rot, gt_trans, gt_rot))
     B, P, N, _ = part_pcs.shape
     match_ids = match_ids.astype(jnp.int32)
 

@@ -1,0 +1,106 @@
+"""Device mesh, shardings, and the compiled train/eval steps.
+
+TPU-native replacement for the reference's PyTorch-Lightning DDP strategy
+(reference scripts/train.py:85: `strategy='ddp'` + NCCL allreduce).  Here a
+single `jax.sharding.Mesh` with a `data` axis spans ICI (and DCN across
+hosts); batches are sharded on `data`, parameters are replicated, and XLA
+inserts the gradient/metric all-reduces.  The mesh carries an (unused,
+size-1) `model` axis so model-parallel shardings can be introduced without
+changing the step signatures.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..train.core import mon_loss
+
+__all__ = ['make_mesh', 'batch_sharding', 'replicated', 'shard_batch',
+           'make_train_step', 'make_eval_step', 'init_distributed']
+
+
+def init_distributed():
+    """Multi-host init (reference: Lightning/SLURM spawn; here
+    jax.distributed over the cluster coordinator).  No-op single-host."""
+    import os
+    if os.environ.get('JAX_COORDINATOR_ADDRESS'):
+        jax.distributed.initialize()
+
+
+def make_mesh(devices=None, model_axis=1):
+    """1D data-parallel mesh (optionally with a trivial model axis)."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    assert n % model_axis == 0
+    arr = np.asarray(devices).reshape(n // model_axis, model_axis)
+    return Mesh(arr, ('data', 'model'))
+
+
+def batch_sharding(mesh):
+    return NamedSharding(mesh, P('data'))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh):
+    """Place a host batch onto the mesh, sharded along the batch axis."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh) if hasattr(x, 'ndim') and x.ndim > 0
+        else x, batch)
+
+
+def make_train_step(model, tx, cfg, mesh=None, donate=True):
+    """Build the jitted data-parallel train step.
+
+    batch sharded on `data`; state replicated; gradient mean over the global
+    batch comes out of XLA's partitioner (no explicit psum needed under jit
+    + sharding -- the reduction in the loss already spans the global batch).
+    """
+
+    def step(state, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            loss, log_dict, new_stats = mon_loss(
+                model, params, state.batch_stats, batch, rng, cfg=cfg,
+                training=True)
+            return loss, (log_dict, new_stats)
+
+        grads, (log_dict, new_stats) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(tx, grads, new_stats)
+        return new_state, log_dict
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, ) if donate else ())
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, bsh, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0, ) if donate else (),
+    )
+
+
+def make_eval_step(model, cfg, mesh=None):
+    """Jitted eval step returning the per-batch mean loss/metric dict."""
+
+    def step(state, batch, rng):
+        _, log_dict, _ = mon_loss(
+            model, state.params, state.batch_stats, batch, rng, cfg=cfg,
+            training=False)
+        return log_dict
+
+    if mesh is None:
+        return jax.jit(step)
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(step, in_shardings=(rep, bsh, rep), out_shardings=rep)

@@ -1,0 +1,79 @@
+"""LR schedules as optax-style step functions.
+
+Counterparts of the reference's torch schedulers
+(multi_part_assembly/utils/lr.py): CosineAnnealingWarmupRestarts (:26-125)
+and LinearAnnealingWarmup (:128-198).  The reference steps them per *epoch*
+(base_model.py:417-424); here the schedule is a pure fn of the global step
+with `steps_per_epoch` granularity baked in, so it lives inside the jitted
+update.
+"""
+
+import jax.numpy as jnp
+
+__all__ = ['cosine_warmup_restarts', 'linear_warmup', 'build_lr_schedule']
+
+
+def cosine_warmup_restarts(max_lr, min_lr, first_cycle_steps,
+                           warmup_steps=0, cycle_mult=1.0, gamma=1.0):
+    """Linear warmup (min->max) then cosine decay (max->min), restarting
+    every cycle (reference lr.py:80-92)."""
+    assert warmup_steps < first_cycle_steps
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        if cycle_mult == 1.0:
+            cycle = jnp.floor(step / first_cycle_steps)
+            step_in_cycle = step - cycle * first_cycle_steps
+            cur_cycle_steps = first_cycle_steps
+        else:  # geometric cycle growth (lr.py:108-118)
+            n = jnp.floor(
+                jnp.log(step / first_cycle_steps * (cycle_mult - 1) + 1) /
+                jnp.log(cycle_mult))
+            cycle = n
+            start = first_cycle_steps * (cycle_mult**n - 1) / (cycle_mult - 1)
+            step_in_cycle = step - start
+            cur_cycle_steps = first_cycle_steps * cycle_mult**n
+        cur_max = max_lr * gamma**cycle
+        warm = (cur_max - min_lr) * step_in_cycle / warmup_steps + min_lr \
+            if warmup_steps > 0 else cur_max
+        cos = min_lr + (cur_max - min_lr) * 0.5 * (1.0 + jnp.cos(
+            jnp.pi * (step_in_cycle - warmup_steps) /
+            (cur_cycle_steps - warmup_steps)))
+        return jnp.where(step_in_cycle < warmup_steps, warm, cos)
+
+    return schedule
+
+
+def linear_warmup(max_lr, min_lr, total_steps, warmup_steps=0):
+    """Warmup then linear decay to min_lr (reference lr.py:171-183)."""
+    assert warmup_steps < total_steps
+
+    def schedule(step):
+        step = jnp.minimum(jnp.asarray(step, jnp.float32), total_steps)
+        warm = (max_lr - min_lr) * step / warmup_steps + min_lr \
+            if warmup_steps > 0 else max_lr
+        lin = min_lr + (max_lr - min_lr) * (total_steps - step) / \
+            (total_steps - warmup_steps)
+        return jnp.where(step < warmup_steps, warm, lin)
+
+    return schedule
+
+
+def build_lr_schedule(cfg, steps_per_epoch):
+    """Schedule from config (reference base_model.py:404-424): cosine with
+    warmup over `num_epochs`, min_lr = lr / lr_decay_factor."""
+    lr = cfg.optimizer.lr
+    if not cfg.optimizer.get('lr_scheduler', None):
+        return lambda step: jnp.asarray(lr, jnp.float32)
+    assert cfg.optimizer.lr_scheduler in ('cosine', )
+    total_epochs = cfg.exp.num_epochs
+    warmup_epochs = int(total_epochs * cfg.optimizer.warmup_ratio)
+    # epoch granularity, like the reference's per-epoch scheduler.step()
+    def epoch_schedule(step):
+        epoch = jnp.floor(step / steps_per_epoch)
+        return cosine_warmup_restarts(
+            max_lr=lr, min_lr=lr / cfg.optimizer.lr_decay_factor,
+            first_cycle_steps=total_epochs,
+            warmup_steps=warmup_epochs)(epoch)
+
+    return epoch_schedule

@@ -1,0 +1,168 @@
+"""End-to-end train/eval step tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_part_assembly_tpu.models import build_model
+from multi_part_assembly_tpu.parallel import (make_eval_step, make_mesh,
+                                              make_train_step, shard_batch)
+from multi_part_assembly_tpu.train import (create_train_state,
+                                           cosine_warmup_restarts, mon_loss)
+from multi_part_assembly_tpu.utils import CN
+
+
+def _make_cfg(model_name='pn_transformer', dataset='geometry',
+              sample_iter=1, noise_dim=0, P=4):
+    cfg = CN()
+    cfg.exp = CN({'batch_size': 8, 'num_epochs': 10, 'val_every': 1})
+    cfg.data = CN({
+        'dataset': dataset, 'max_num_part': P, 'num_pc_points': 32,
+        'data_keys': ('part_ids', ),
+    })
+    cfg.optimizer = CN({
+        'lr': 1e-3, 'weight_decay': 0., 'warmup_ratio': 0.05,
+        'clip_grad': None, 'lr_scheduler': 'cosine', 'lr_decay_factor': 100.,
+    })
+    cfg.model = CN({
+        'name': model_name, 'rot_type': 'quat', 'pc_feat_dim': 32,
+        'encoder': 'pointnet', 'transformer_feat_dim': 64,
+        'transformer_heads': 4, 'transformer_layers': 1,
+        'transformer_pre_ln': True, 'gnn_iter': 2, 'merge_node': True,
+        'lstm_hidden_size': 32, 'transformer_pos_enc': (32, 32),
+        'pose_pc_feat': True, 'refine_steps': 2,
+    })
+    cfg.loss = CN({
+        'noise_dim': noise_dim, 'sample_iter': sample_iter,
+        'trans_loss_w': 1., 'rot_pt_cd_loss_w': 10.,
+        'transform_pt_cd_loss_w': 10., 'use_rot_loss': True,
+        'rot_loss_w': 0.2, 'use_rot_pt_l2_loss': True,
+        'rot_pt_l2_loss_w': 1.,
+    })
+    return cfg
+
+
+def _fake_batch(rng, B=8, P=4, N=32, semantic=False):
+    nparts = rng.randint(2, P + 1, B)
+    valids = (np.arange(P)[None] < nparts[:, None]).astype(np.float32)
+    q = rng.randn(B, P, 4).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    q = q * valids[..., None]  # padded -> zero quat (fixed by Rotation3D)
+    batch = {
+        'part_pcs': (rng.randn(B, P, N, 3) * 0.3).astype(np.float32),
+        'part_quat': q.astype(np.float32),
+        'part_trans': (rng.randn(B, P, 3) * 0.1).astype(np.float32),
+        'part_valids': valids,
+        'part_label': np.zeros((B, P, 0), np.float32),
+        'instance_label': np.zeros((B, P, P if semantic else 0), np.float32),
+        'part_ids': rng.randint(0, 3, (B, P)).astype(np.int32),
+        'valid_matrix': (valids[:, :, None] * valids[:, None, :]),
+    }
+    if semantic:
+        mi = np.zeros((B, P), np.int32)
+        mi[:, 0] = 1
+        mi[:, 1] = 1  # parts 0, 1 equivalent
+        batch['match_ids'] = mi
+        batch['contact_points'] = np.zeros((B, P, P, 4), np.float32)
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+@pytest.mark.parametrize('model_name,sample_iter,semantic', [
+    ('pn_transformer', 1, False),
+    ('global', 3, True),
+    ('dgl', 2, True),
+])
+def test_train_step_on_mesh(rng, model_name, sample_iter, semantic):
+    dataset = 'partnet' if semantic else 'geometry'
+    cfg = _make_cfg(model_name, dataset, sample_iter,
+                    noise_dim=8 if sample_iter > 1 else 0)
+    model = build_model(cfg)
+    batch = _fake_batch(rng, semantic=semantic)
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+    state, tx, _ = create_train_state(
+        model, cfg, batch, jax.random.PRNGKey(0), steps_per_epoch=2)
+    train_step = make_train_step(model, tx, cfg, mesh, donate=False)
+    sharded = shard_batch(batch, mesh)
+
+    state1, logs = train_step(state, sharded, jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs['loss']))
+    assert int(state1.step) == 1
+    # params changed
+    leaf0 = jax.tree_util.tree_leaves(state.params)[0]
+    leaf1 = jax.tree_util.tree_leaves(state1.params)[0]
+    assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
+
+    eval_step = make_eval_step(model, cfg, mesh)
+    eval_logs = eval_step(state1, sharded, jax.random.PRNGKey(2))
+    assert 'part_acc' in eval_logs
+    if semantic:
+        assert 'connectivity_acc' in eval_logs
+    else:
+        assert 'rot_rmse' in eval_logs and 'trans_mae' in eval_logs
+    for k, v in eval_logs.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_training_reduces_loss_overfit(rng):
+    """Mini overfit smoke (reference's cfg.data.overfit knob analogue)."""
+    cfg = _make_cfg('global', 'geometry', sample_iter=1, noise_dim=0)
+    cfg.optimizer.lr = 1e-3
+    model = build_model(cfg)
+    batch = _fake_batch(rng, B=8)
+    state, tx, _ = create_train_state(
+        model, cfg, batch, jax.random.PRNGKey(0), steps_per_epoch=100)
+    train_step = make_train_step(model, tx, cfg, mesh=None, donate=False)
+    losses = []
+    for i in range(30):
+        state, logs = train_step(state, batch, jax.random.PRNGKey(42))
+        losses.append(float(logs['loss']))
+    assert losses[-1] < losses[0] * 0.9, losses[:3] + losses[-3:]
+
+
+def test_mon_selects_min_sample(rng):
+    """With stochastic sampling, MoN loss <= mean single-sample loss."""
+    cfg1 = _make_cfg('global', 'geometry', sample_iter=1, noise_dim=16)
+    cfg5 = _make_cfg('global', 'geometry', sample_iter=5, noise_dim=16)
+    model = build_model(cfg1)
+    batch = _fake_batch(rng, B=8)
+    state, _, _ = create_train_state(
+        model, cfg1, batch, jax.random.PRNGKey(0))
+
+    def loss_of(cfg, key):
+        loss, _, _ = mon_loss(model, state.params, state.batch_stats, batch,
+                              key, cfg=cfg, training=True)
+        return float(loss)
+
+    l1 = np.mean([loss_of(cfg1, jax.random.PRNGKey(i)) for i in range(5)])
+    l5 = loss_of(cfg5, jax.random.PRNGKey(0))
+    assert l5 <= l1 + 1e-4
+
+
+def test_cosine_schedule_shape():
+    sched = cosine_warmup_restarts(1.0, 0.01, first_cycle_steps=100,
+                                   warmup_steps=10)
+    vals = [float(sched(s)) for s in [0, 5, 10, 50, 99, 100, 105]]
+    assert vals[0] < vals[1] < vals[2]  # warmup rising
+    assert abs(vals[2] - 1.0) < 1e-5  # peak at end of warmup
+    assert vals[3] < vals[2] and vals[4] < vals[3]  # cosine falling
+    assert vals[5] < 0.2  # restart begins at min
+    assert vals[6] > vals[5]  # rising again
+
+
+def test_eval_deterministic_across_mon_keys(rng):
+    """noise_dim=0 models: MoN samples identical -> loss equals 1-sample."""
+    cfg1 = _make_cfg('pn_transformer', 'geometry', 1, noise_dim=0)
+    cfg3 = _make_cfg('pn_transformer', 'geometry', 3, noise_dim=0)
+    model = build_model(cfg1)
+    batch = _fake_batch(rng)
+    state, _, _ = create_train_state(model, cfg1, batch,
+                                     jax.random.PRNGKey(0))
+    _, logs1, _ = mon_loss(model, state.params, state.batch_stats, batch,
+                           jax.random.PRNGKey(5), cfg=cfg1, training=False)
+    _, logs3, _ = mon_loss(model, state.params, state.batch_stats, batch,
+                           jax.random.PRNGKey(5), cfg=cfg3, training=False)
+    np.testing.assert_allclose(float(logs1['loss']), float(logs3['loss']),
+                               rtol=1e-5)
