@@ -1,0 +1,101 @@
+"""Batching + background-prefetch data loader.
+
+Replaces torch DataLoader (reference partnet_data.py:254-262): a thread
+pool collates fixed-shape numpy batches while the device computes (the
+native mesh sampler releases the GIL, so threads scale).  For multi-host
+training, the index space is sharded by process (per-host input pipelines,
+the jax.distributed equivalent of DistributedSampler).
+"""
+
+import queue
+import threading
+
+import jax
+import numpy as np
+
+__all__ = ['DataLoader']
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size, shuffle=False, drop_last=False,
+                 num_workers=4, seed=0, prefetch=2, shard_by_process=True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+        if shard_by_process and jax.process_count() > 1:
+            self._shard_id = jax.process_index()
+            self._num_shards = jax.process_count()
+        else:
+            self._shard_id, self._num_shards = 0, 1
+
+    def __len__(self):
+        n = len(self.dataset) // self._num_shards
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+        if hasattr(self.dataset, 'set_epoch'):
+            self.dataset.set_epoch(epoch)
+
+    def _indices(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        # per-host shard (contiguous strided, same count per host)
+        idx = idx[self._shard_id::self._num_shards]
+        return idx
+
+    @staticmethod
+    def _collate(items):
+        out = {}
+        for k in items[0]:
+            vals = [it[k] for it in items]
+            if np.isscalar(vals[0]) or np.asarray(vals[0]).ndim == 0:
+                out[k] = np.asarray(vals)
+            else:
+                out[k] = np.stack(vals, axis=0)
+        return out
+
+    def __iter__(self):
+        idx = self._indices()
+        nb = len(idx) // self.batch_size if self.drop_last else \
+            (len(idx) + self.batch_size - 1) // self.batch_size
+        batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(nb)]
+
+        q = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            for b in batches:
+                if stop.is_set():
+                    return
+                try:
+                    items = [self.dataset[int(i)] for i in b]
+                    q.put(self._collate(items))
+                except Exception as e:  # surface errors to the consumer
+                    q.put(e)
+                    return
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,185 @@
+"""ctypes binding to the native mesh loader/sampler.
+
+Builds `native/libmpa_mesh.so` on first import if needed (the reference's
+analogue is the JIT cpp_extension fallback at pointnet2_utils.py:8-32) and
+falls back to a pure-numpy OBJ parser + sampler when no C++ toolchain is
+available.  The numpy fallback implements the same area-weighted sampling.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+__all__ = ['MeshSampler', 'load_obj_numpy', 'sample_surface_numpy',
+           'native_available']
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'native')
+_LIB_PATH = os.path.join(_NATIVE_DIR, 'libmpa_mesh.so')
+_build_lock = threading.Lock()
+_lib = None
+
+
+def _build_native():
+    try:
+        subprocess.run(['make', '-C', _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _build_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH) and not _build_native():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.mpa_load_mesh.restype = ctypes.c_int64
+        lib.mpa_load_mesh.argtypes = [ctypes.c_char_p]
+        lib.mpa_free_mesh.argtypes = [ctypes.c_int64]
+        lib.mpa_sample.restype = ctypes.c_int
+        lib.mpa_sample.argtypes = [
+            ctypes.c_int64, ctypes.c_int, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_float)]
+        lib.mpa_sample_batch.restype = ctypes.c_int
+        lib.mpa_sample_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int]
+        lib.mpa_load_sample_batch.restype = ctypes.c_int
+        lib.mpa_load_sample_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int]
+        _lib = lib
+        return _lib
+
+
+def native_available():
+    return _get_lib() is not None
+
+
+# ---------------------------------------------------------------------------
+# numpy fallback (also the test oracle for the native path)
+# ---------------------------------------------------------------------------
+
+
+def load_obj_numpy(path):
+    """Parse an OBJ file -> (verts [V, 3] f32, faces [F, 3] i32)."""
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith('v ') or line.startswith('v\t'):
+                parts = line.split()
+                verts.append([float(x) for x in parts[1:4]])
+            elif line.startswith('f ') or line.startswith('f\t'):
+                idx = []
+                for tok in line.split()[1:]:
+                    v = int(tok.split('/')[0])
+                    if v < 0:
+                        v = len(verts) + v + 1
+                    idx.append(v - 1)
+                for k in range(2, len(idx)):  # polygon fan
+                    faces.append([idx[0], idx[k - 1], idx[k]])
+    return (np.asarray(verts, np.float32), np.asarray(faces, np.int32))
+
+
+def sample_surface_numpy(verts, faces, n_points, rng):
+    """Area-weighted surface sampling (trimesh.sample_surface semantics)."""
+    v0 = verts[faces[:, 0]]
+    v1 = verts[faces[:, 1]]
+    v2 = verts[faces[:, 2]]
+    areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
+    probs = areas / areas.sum()
+    tri = rng.choice(len(faces), size=n_points, p=probs)
+    u = rng.random(n_points)
+    w = rng.random(n_points)
+    su = np.sqrt(u)
+    b0, b1, b2 = 1.0 - su, su * (1.0 - w), su * w
+    pts = (b0[:, None] * v0[tri] + b1[:, None] * v1[tri] +
+           b2[:, None] * v2[tri])
+    return pts.astype(np.float32)
+
+
+class MeshSampler:
+    """Cached mesh surface sampler (native if available, numpy otherwise)."""
+
+    def __init__(self, n_threads=None):
+        self._lib = _get_lib()
+        self._n_threads = n_threads or min(16, os.cpu_count() or 4)
+        self._np_cache = {}
+        self._handles = {}
+
+    @property
+    def is_native(self):
+        return self._lib is not None
+
+    def load(self, path):
+        """Cache a mesh; returns an opaque key (the path)."""
+        if self._lib is not None:
+            if path not in self._handles:
+                h = self._lib.mpa_load_mesh(path.encode())
+                if h == 0:
+                    raise IOError(f'failed to load mesh {path}')
+                self._handles[path] = h
+        else:
+            if path not in self._np_cache:
+                self._np_cache[path] = load_obj_numpy(path)
+        return path
+
+    def sample(self, path, n_points, seed):
+        """Sample one cached mesh -> [n_points, 3] float32."""
+        self.load(path)
+        if self._lib is not None:
+            out = np.empty((n_points, 3), np.float32)
+            rc = self._lib.mpa_sample(
+                self._handles[path], n_points, ctypes.c_uint64(seed),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            if rc != 0:
+                raise IOError(f'sampling failed for {path}')
+            return out
+        verts, faces = self._np_cache[path]
+        return sample_surface_numpy(verts, faces, n_points,
+                                    np.random.default_rng(seed))
+
+    def sample_batch(self, paths, n_points, seeds):
+        """Sample many cached meshes -> [len(paths), n_points, 3] float32.
+
+        Native path is multithreaded in C++ with the GIL released.
+        """
+        n = len(paths)
+        out = np.empty((n, n_points, 3), np.float32)
+        if self._lib is not None:
+            handles = np.asarray([self._handles[self.load(p)] for p in paths],
+                                 np.int64)
+            seeds = np.asarray(seeds, np.uint64)
+            rc = self._lib.mpa_sample_batch(
+                handles.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+                n_points,
+                seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                self._n_threads)
+            if rc != 0:
+                raise IOError(f'batch sampling failed (rc={rc})')
+            return out
+        for i, (p, s) in enumerate(zip(paths, seeds)):
+            out[i] = self.sample(p, n_points, int(s))
+        return out
+
+    def close(self):
+        if self._lib is not None:
+            for h in self._handles.values():
+                self._lib.mpa_free_mesh(h)
+            self._handles.clear()
+        self._np_cache.clear()

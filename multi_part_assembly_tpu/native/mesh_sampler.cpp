@@ -1,0 +1,268 @@
+// Native mesh IO + surface sampling for the Breaking-Bad data pipeline.
+//
+// TPU-native replacement for the reference's host-side data hot path
+// (reference: multi_part_assembly/datasets/geometry_data.py:109-131 --
+// trimesh.load + trimesh.sample.sample_surface per part per epoch, the
+// dominant input-pipeline cost).  This library:
+//   * parses OBJ/OFF meshes once and caches them in RAM (handle API), so
+//     epochs only pay for resampling;
+//   * samples the surface area-weighted with a per-call PCG32 stream
+//     (same distribution as trimesh.sample_surface: triangle chosen by
+//     cumulative area, uniform barycentric point);
+//   * exposes a batched, multithreaded entry point that releases the GIL
+//     (ctypes) so a Python thread pool is not needed.
+//
+// C ABI only; bound from Python via ctypes (multi_part_assembly_tpu/
+// datasets/mesh_io.py).  Build: make -C multi_part_assembly_tpu/native
+
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <mutex>
+#include <sstream>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Mesh {
+  std::vector<float> verts;     // 3 * n_verts
+  std::vector<int32_t> faces;   // 3 * n_faces
+  std::vector<double> cum_area; // cumulative triangle areas (for sampling)
+  double total_area = 0.0;
+};
+
+// --- PCG32: tiny, fast, reproducible RNG ---
+struct Pcg32 {
+  uint64_t state, inc;
+  explicit Pcg32(uint64_t seed, uint64_t seq = 0xda3e39cb94b95bdbULL) {
+    state = 0U;
+    inc = (seq << 1u) | 1u;
+    next();
+    state += seed;
+    next();
+  }
+  uint32_t next() {
+    uint64_t old = state;
+    state = old * 6364136223846793005ULL + inc;
+    uint32_t xorshifted = static_cast<uint32_t>(((old >> 18u) ^ old) >> 27u);
+    uint32_t rot = static_cast<uint32_t>(old >> 59u);
+    return (xorshifted >> rot) | (xorshifted << ((-rot) & 31));
+  }
+  double uniform() { return next() * (1.0 / 4294967296.0); }
+};
+
+std::mutex g_registry_mu;
+std::unordered_map<int64_t, Mesh *> g_registry;
+std::atomic<int64_t> g_next_handle{1};
+
+bool parse_obj(const char *path, Mesh *mesh) {
+  std::ifstream in(path);
+  if (!in.is_open()) return false;
+  std::string line;
+  std::vector<float> &verts = mesh->verts;
+  std::vector<int32_t> &faces = mesh->faces;
+  while (std::getline(in, line)) {
+    if (line.size() < 2) continue;
+    if (line[0] == 'v' && (line[1] == ' ' || line[1] == '\t')) {
+      float x, y, z;
+      if (std::sscanf(line.c_str() + 1, "%f %f %f", &x, &y, &z) == 3) {
+        verts.push_back(x);
+        verts.push_back(y);
+        verts.push_back(z);
+      }
+    } else if (line[0] == 'f' && (line[1] == ' ' || line[1] == '\t')) {
+      // faces may be "f a b c", "f a/t b/t c/t", "f a/t/n ...", polygons
+      std::istringstream ss(line.substr(1));
+      std::vector<int32_t> idx;
+      std::string tok;
+      while (ss >> tok) {
+        // take the leading vertex index of each a/b/c group
+        long v = std::strtol(tok.c_str(), nullptr, 10);
+        if (v < 0) v = static_cast<long>(verts.size() / 3) + v + 1;
+        if (v > 0) idx.push_back(static_cast<int32_t>(v - 1));
+      }
+      for (size_t k = 2; k < idx.size(); ++k) {  // polygon fan
+        faces.push_back(idx[0]);
+        faces.push_back(idx[k - 1]);
+        faces.push_back(idx[k]);
+      }
+    }
+  }
+  return !verts.empty() && !faces.empty();
+}
+
+void build_areas(Mesh *mesh) {
+  size_t nf = mesh->faces.size() / 3;
+  mesh->cum_area.resize(nf);
+  double acc = 0.0;
+  const float *v = mesh->verts.data();
+  for (size_t f = 0; f < nf; ++f) {
+    int32_t a = mesh->faces[3 * f], b = mesh->faces[3 * f + 1],
+            c = mesh->faces[3 * f + 2];
+    double e1[3] = {v[3 * b] - v[3 * a], v[3 * b + 1] - v[3 * a + 1],
+                    v[3 * b + 2] - v[3 * a + 2]};
+    double e2[3] = {v[3 * c] - v[3 * a], v[3 * c + 1] - v[3 * a + 1],
+                    v[3 * c + 2] - v[3 * a + 2]};
+    double cx = e1[1] * e2[2] - e1[2] * e2[1];
+    double cy = e1[2] * e2[0] - e1[0] * e2[2];
+    double cz = e1[0] * e2[1] - e1[1] * e2[0];
+    acc += 0.5 * std::sqrt(cx * cx + cy * cy + cz * cz);
+    mesh->cum_area[f] = acc;
+  }
+  mesh->total_area = acc;
+}
+
+void sample_mesh(const Mesh &mesh, int n_points, uint64_t seed, float *out) {
+  Pcg32 rng(seed);
+  size_t nf = mesh.cum_area.size();
+  const float *v = mesh.verts.data();
+  for (int i = 0; i < n_points; ++i) {
+    double r = rng.uniform() * mesh.total_area;
+    // binary search the cumulative area table
+    size_t lo = 0, hi = nf - 1;
+    while (lo < hi) {
+      size_t mid = (lo + hi) / 2;
+      if (mesh.cum_area[mid] < r) lo = mid + 1; else hi = mid;
+    }
+    int32_t a = mesh.faces[3 * lo], b = mesh.faces[3 * lo + 1],
+            c = mesh.faces[3 * lo + 2];
+    // uniform barycentric (sqrt trick)
+    double u = rng.uniform(), w = rng.uniform();
+    double su = std::sqrt(u);
+    double b0 = 1.0 - su, b1 = su * (1.0 - w), b2 = su * w;
+    for (int d = 0; d < 3; ++d) {
+      out[3 * i + d] = static_cast<float>(
+          b0 * v[3 * a + d] + b1 * v[3 * b + d] + b2 * v[3 * c + d]);
+    }
+  }
+}
+
+Mesh *get_mesh(int64_t handle) {
+  std::lock_guard<std::mutex> lk(g_registry_mu);
+  auto it = g_registry.find(handle);
+  return it == g_registry.end() ? nullptr : it->second;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse + cache a mesh; returns handle > 0, or 0 on failure.
+int64_t mpa_load_mesh(const char *path) {
+  Mesh *mesh = new Mesh();
+  if (!parse_obj(path, mesh)) {
+    delete mesh;
+    return 0;
+  }
+  build_areas(mesh);
+  if (mesh->total_area <= 0.0) {
+    delete mesh;
+    return 0;
+  }
+  int64_t h = g_next_handle.fetch_add(1);
+  std::lock_guard<std::mutex> lk(g_registry_mu);
+  g_registry[h] = mesh;
+  return h;
+}
+
+void mpa_free_mesh(int64_t handle) {
+  std::lock_guard<std::mutex> lk(g_registry_mu);
+  auto it = g_registry.find(handle);
+  if (it != g_registry.end()) {
+    delete it->second;
+    g_registry.erase(it);
+  }
+}
+
+int mpa_mesh_stats(int64_t handle, int64_t *n_verts, int64_t *n_faces) {
+  Mesh *m = get_mesh(handle);
+  if (!m) return -1;
+  *n_verts = static_cast<int64_t>(m->verts.size() / 3);
+  *n_faces = static_cast<int64_t>(m->faces.size() / 3);
+  return 0;
+}
+
+// Sample one cached mesh.
+int mpa_sample(int64_t handle, int n_points, uint64_t seed, float *out) {
+  Mesh *m = get_mesh(handle);
+  if (!m) return -1;
+  sample_mesh(*m, n_points, seed, out);
+  return 0;
+}
+
+// Batched multithreaded sampling: out is [n_meshes, n_points, 3].
+int mpa_sample_batch(const int64_t *handles, int n_meshes, int n_points,
+                     const uint64_t *seeds, float *out, int n_threads) {
+  std::vector<Mesh *> meshes(n_meshes);
+  for (int i = 0; i < n_meshes; ++i) {
+    meshes[i] = get_mesh(handles[i]);
+    if (!meshes[i]) return -(i + 1);
+  }
+  if (n_threads <= 1 || n_meshes == 1) {
+    for (int i = 0; i < n_meshes; ++i)
+      sample_mesh(*meshes[i], n_points, seeds[i],
+                  out + static_cast<size_t>(i) * n_points * 3);
+    return 0;
+  }
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n_meshes) break;
+      sample_mesh(*meshes[i], n_points, seeds[i],
+                  out + static_cast<size_t>(i) * n_points * 3);
+    }
+  };
+  int nt = std::min(n_threads, n_meshes);
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto &th : threads) th.join();
+  return 0;
+}
+
+// Convenience: load (no cache) + sample in one call, threaded over meshes.
+// paths: n_meshes C strings concatenated with '\0' separators.
+int mpa_load_sample_batch(const char *paths, int n_meshes, int n_points,
+                          const uint64_t *seeds, float *out, int n_threads) {
+  std::vector<const char *> ptrs(n_meshes);
+  const char *p = paths;
+  for (int i = 0; i < n_meshes; ++i) {
+    ptrs[i] = p;
+    p += std::strlen(p) + 1;
+  }
+  std::atomic<int> next{0};
+  std::atomic<int> err{0};
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n_meshes) break;
+      Mesh mesh;
+      if (!parse_obj(ptrs[i], &mesh)) {
+        err.store(-(i + 1));
+        continue;
+      }
+      build_areas(&mesh);
+      if (mesh.total_area <= 0.0) {
+        err.store(-(i + 1));
+        continue;
+      }
+      sample_mesh(mesh, n_points, seeds[i],
+                  out + static_cast<size_t>(i) * n_points * 3);
+    }
+  };
+  int nt = std::max(1, std::min(n_threads, n_meshes));
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto &th : threads) th.join();
+  return err.load();
+}
+
+}  // extern "C"
