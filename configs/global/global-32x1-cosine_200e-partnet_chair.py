@@ -1,0 +1,22 @@
+"""Auto-composed leaf config (global-32x1-cosine_200e-partnet_chair)."""
+
+import os
+
+from multi_part_assembly_tpu.utils import CN, merge_cfg
+
+_base_ = {
+    'exp': '../_base_/default_exp.py',
+    'data': '../_base_/datasets/partnet/partnet_chair.py',
+    'optimizer': '../_base_/schedules/adam_cosine.py',
+    'model': '../_base_/models/global.py',
+    'loss': '../_base_/models/loss/semantic_loss.py',
+}
+
+_C = CN()
+
+
+def get_cfg_defaults():
+    base_cfg = _C.clone()
+    cfg = merge_cfg(base_cfg, os.path.dirname(os.path.abspath(__file__)),
+                    _base_)
+    return cfg

@@ -30,12 +30,21 @@ def init_distributed():
         jax.distributed.initialize()
 
 
-def make_mesh(devices=None, model_axis=1):
-    """1D data-parallel mesh (optionally with a trivial model axis)."""
+def make_mesh(devices=None, model_axis=1, batch_size=None):
+    """1D data-parallel mesh (optionally with a trivial model axis).
+
+    With `batch_size`, the data axis is shrunk to gcd(batch, n_devices) so
+    small debug batches still shard evenly.
+    """
+    import math
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     assert n % model_axis == 0
-    arr = np.asarray(devices).reshape(n // model_axis, model_axis)
+    n_data = n // model_axis
+    if batch_size is not None:
+        n_data = math.gcd(batch_size, n_data)
+    devices = devices[:n_data * model_axis]
+    arr = np.asarray(devices).reshape(n_data, model_axis)
     return Mesh(arr, ('data', 'model'))
 
 
@@ -94,9 +103,11 @@ def make_eval_step(model, cfg, mesh=None):
     """Jitted eval step returning the per-batch mean loss/metric dict."""
 
     def step(state, batch, rng):
+        # reduce=False: per-element vectors so host-side padding rows of
+        # remainder batches can be sliced before weighted averaging
         _, log_dict, _ = mon_loss(
             model, state.params, state.batch_stats, batch, rng, cfg=cfg,
-            training=False)
+            training=False, reduce=False)
         return log_dict
 
     if mesh is None:

@@ -142,10 +142,13 @@ def loss_one_sample(pred, data_dict, *, rot_type, semantic, training,
     return all_loss
 
 
-def mon_loss(model, params, batch_stats, data_dict, rng, *, cfg, training):
+def mon_loss(model, params, batch_stats, data_dict, rng, *, cfg, training,
+             reduce=True):
     """Minimum-over-N loss (reference base_model.py:348-387), vmapped.
 
-    Returns (scalar total loss, dict of scalar logs, new batch_stats).
+    Returns (scalar total loss, dict of logs, new batch_stats).  With
+    reduce=False the logs are per-element [B] vectors (used by eval so
+    host-side padding rows can be sliced off before averaging).
     """
     semantic = cfg.data.dataset != 'geometry'
     sample_iter = cfg.loss.get('sample_iter', 1)
@@ -189,7 +192,11 @@ def mon_loss(model, params, batch_stats, data_dict, rng, *, cfg, training):
     # per-element argmin over samples (base_model.py:374-381)
     min_idx = jnp.argmin(total, axis=0)  # [B]
     B = min_idx.shape[0]
-    sel = lambda v: v[min_idx, jnp.arange(B)].mean()
+
+    def sel(v):
+        picked = v[min_idx, jnp.arange(B)]
+        return picked.mean() if reduce else picked
+
     log_dict = {k: sel(v) for k, v in loss_dicts.items()}
 
     # one combined batch-stats update per step (samples ran in parallel)
@@ -197,4 +204,5 @@ def mon_loss(model, params, batch_stats, data_dict, rng, *, cfg, training):
         new_stats = jax.tree_util.tree_map(lambda s: s.mean(0), sample_stats)
     else:
         new_stats = batch_stats
-    return log_dict['loss'], log_dict, new_stats
+    loss = log_dict['loss'] if reduce else log_dict['loss'].mean()
+    return loss, log_dict, new_stats

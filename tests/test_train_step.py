@@ -103,7 +103,8 @@ def test_train_step_on_mesh(rng, model_name, sample_iter, semantic):
     else:
         assert 'rot_rmse' in eval_logs and 'trans_mae' in eval_logs
     for k, v in eval_logs.items():
-        assert np.isfinite(float(v)), k
+        assert np.asarray(v).shape == (8, ), k  # per-element vectors
+        assert np.isfinite(np.asarray(v)).all(), k
 
 
 def test_training_reduces_loss_overfit(rng):
