@@ -220,25 +220,30 @@ _chamfer.defvjp(_chamfer_fwd, _chamfer_bwd)
 
 
 def _aug_x(p, npad):
-    """[B, P, N, 3] -> [B, P, 8, Npad] rows (x, y, z, 1, 0...)."""
+    """[B, P, N, 3] -> [B, P, 8, Npad] rows (x, y, z, 1, |p|^2, 0...).
+
+    Paired with _aug_y so the K=8 matmul yields the FULL squared distance
+    |x|^2 + |y|^2 - 2 x.y directly (no per-pair epilogue adds)."""
     B, P, N, _ = p.shape
     pt = jnp.swapaxes(p, 2, 3)  # [B, P, 3, N]
     pt = jnp.pad(pt, ((0, 0), (0, 0), (0, 0), (0, npad - N)),
                  constant_values=_PAD_VAL)
     ones = jnp.ones((B, P, 1, npad), pt.dtype)
-    zeros = jnp.zeros((B, P, 4, npad), pt.dtype)
-    return jnp.concatenate([pt, ones, zeros], axis=2)
+    sq = jnp.sum(pt * pt, axis=2, keepdims=True)
+    zeros = jnp.zeros((B, P, 3, npad), pt.dtype)
+    return jnp.concatenate([pt, ones, sq, zeros], axis=2)
 
 
 def _aug_y(p, npad):
-    """[B, P, N, 3] -> [B, P, 8, Npad] rows (-2x, -2y, -2z, |p|^2, 0...)."""
+    """[B, P, N, 3] -> [B, P, 8, Npad] rows (-2x, -2y, -2z, |p|^2, 1, 0...)."""
     B, P, N, _ = p.shape
     pt = jnp.swapaxes(p, 2, 3)
     pt = jnp.pad(pt, ((0, 0), (0, 0), (0, 0), (0, npad - N)),
                  constant_values=_PAD_VAL)
     sq = jnp.sum(pt * pt, axis=2, keepdims=True)  # [B, P, 1, Npad]
-    zeros = jnp.zeros((B, P, 4, npad), pt.dtype)
-    return jnp.concatenate([-2.0 * pt, sq, zeros], axis=2)
+    ones = jnp.ones((B, P, 1, npad), pt.dtype)
+    zeros = jnp.zeros((B, P, 3, npad), pt.dtype)
+    return jnp.concatenate([-2.0 * pt, sq, ones, zeros], axis=2)
 
 
 def _nn_parts_kernel(nparts_ref, x_ref, y_ref, dist_ref, idx_ref, *, npad,
@@ -260,14 +265,13 @@ def _nn_parts_kernel(nparts_ref, x_ref, y_ref, dist_ref, idx_ref, *, npad,
 
     @pl.when(i < n_p)
     def _():
-        xa = x_ref[0, 0]  # [8, Npad], rows (x, y, z, 1, 0*4)
-        x2 = jnp.sum(xa[:3, :] * xa[:3, :], axis=0)  # [Npad]
+        xa = x_ref[0, 0]  # [8, Npad] augmented rows
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 1)
 
         def body(j, carry):
             best, best_idx = carry
-            ya = y_ref[0, j]  # [8, Npad], rows (-2x, -2y, -2z, |y|^2, 0*4)
-            # chunk[m, n] = |y_n|^2 - 2 x_m . y_n  (min-shifted distance)
+            ya = y_ref[0, j]  # [8, Npad] augmented rows
+            # chunk[m, n] = |x_m - y_n|^2 (full distance via augmentation)
             chunk = jax.lax.dot_general(
                 xa, ya, (((0, ), (0, )), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -283,7 +287,7 @@ def _nn_parts_kernel(nparts_ref, x_ref, y_ref, dist_ref, idx_ref, *, npad,
         init = (jnp.full((npad, ), jnp.inf, jnp.float32),
                 jnp.zeros((npad, ), jnp.int32))
         best, best_idx = jax.lax.fori_loop(0, n_p, body, init)
-        dist_ref[0, 0, 0, :] = jnp.maximum(best + x2, 0.0)
+        dist_ref[0, 0, 0, :] = jnp.maximum(best, 0.0)
         idx_ref[0, 0, 0, :] = best_idx
 
 
@@ -353,6 +357,176 @@ def _nn_parts_ref(x, y, n_parts, npad=None):
     return dist.reshape(B, P, N), idx.reshape(B, P, N)
 
 
+# --- fused dual-direction kernels -----------------------------------------
+#
+# The production path: ONE pass over valid part-pair chunks computes both
+# chamfer directions (row-min and col-min of the same distance tile), and
+# the backward recomputes the tiles and identifies witnesses by comparing
+# against the saved min values -- gradients accumulate through two skinny
+# MXU matmuls per tile instead of an XLA scatter (the CUDA reference used
+# atomicAdd, chamfer_kernel.cu:203-208).  On exact distance ties the
+# gradient is split evenly among witnesses (the CUDA kernel picks the first
+# scan hit; ties are measure-zero for real data).
+
+
+def _fused_parts_fwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref, *,
+                            npad, max_parts):
+    """Grid (B,).  x_ref/y_ref: [1, P, 8, Npad] augmented parts.
+    d1_ref/d2_ref: [1, P, 8, Npad] with row 0 = min squared distance."""
+    b = pl.program_id(0)
+    n_p = nparts_ref[b]
+    BIG = jnp.float32(1e30)
+
+    d1_ref[0, :, 0, :] = jnp.full((max_parts, npad), BIG, jnp.float32)
+    d2_ref[0, :, 0, :] = jnp.full((max_parts, npad), BIG, jnp.float32)
+
+    def pair_body(k, _):
+        i = k // n_p
+        j = k % n_p
+        xa = x_ref[0, i]  # [8, Npad]: rows (x, y, z, 1, |x|^2, 0...)
+        ya = y_ref[0, j]  # [8, Npad]: rows (-2x, -2y, -2z, |y|^2, 1, 0...)
+        # the augmentation makes this the full |x - y|^2 with no epilogue
+        # adds; the backward recomputes the identical op so witness
+        # equality is bit-exact (Mosaic supports DEFAULT/HIGHEST only)
+        d = jax.lax.dot_general(
+            xa, ya, (((0, ), (0, )), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        d1_ref[0, i, 0, :] = jnp.minimum(d1_ref[0, i, 0, :],
+                                         jnp.min(d, axis=1))
+        d2_ref[0, j, 0, :] = jnp.minimum(d2_ref[0, j, 0, :],
+                                         jnp.min(d, axis=0))
+        return 0
+
+    jax.lax.fori_loop(0, n_p * n_p, pair_body, 0)
+
+    # finalize: clamp fp noise at 0, zero out invalid parts
+    part_valid = jax.lax.broadcasted_iota(
+        jnp.int32, (max_parts, npad), 0) < n_p
+    d1_ref[0, :, 0, :] = jnp.where(
+        part_valid, jnp.maximum(d1_ref[0, :, 0, :], 0.0), 0.0)
+    d2_ref[0, :, 0, :] = jnp.where(
+        part_valid, jnp.maximum(d2_ref[0, :, 0, :], 0.0), 0.0)
+
+
+def _fused_parts_bwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref, g1_ref,
+                            g2_ref, dx_ref, dy_ref, *, npad, max_parts):
+    """Backward of the fused chamfer.  Same grid/loop as forward; witnesses
+    are tiles equal to the saved min, gradients accumulate as:
+        dx_i += 2 (g1_i x_i - sum_j w1_ij y_j) + (direction-2 terms)
+    where w1_ij = g1_i * mask1_ij / count1_i.
+    dx_ref/dy_ref rows 0..2 hold the coordinate gradients."""
+    b = pl.program_id(0)
+    n_p = nparts_ref[b]
+
+    dx_ref[0] = jnp.zeros((max_parts, 8, npad), jnp.float32)
+    dy_ref[0] = jnp.zeros((max_parts, 8, npad), jnp.float32)
+
+    def pair_body(k, _):
+        i = k // n_p
+        j = k % n_p
+        xa = x_ref[0, i]
+        ya = y_ref[0, j]
+        # identical recompute to the forward (same op, same precision)
+        d = jnp.maximum(
+            jax.lax.dot_general(
+                xa, ya, (((0, ), (0, )), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST), 0.0)
+
+        xc = xa[:3, :]              # [3, Npad] x coords
+        yc = ya[:3, :] * (-0.5)     # [3, Npad] y coords (undo the -2 scale)
+
+        # witness masks vs the saved minima; gradients of ties split evenly
+        d1 = d1_ref[0, i, 0, :]
+        mask1 = (d == d1[:, None]).astype(jnp.float32)
+        cnt1 = jnp.maximum(jnp.sum(mask1, axis=1), 1.0)
+        w1 = (g1_ref[0, i, 0, :] / cnt1)[:, None] * mask1  # [Nx, Ny]
+        d2 = d2_ref[0, j, 0, :]
+        mask2 = (d == d2[None, :]).astype(jnp.float32)
+        cnt2 = jnp.maximum(jnp.sum(mask2, axis=0), 1.0)
+        w2 = (g2_ref[0, j, 0, :] / cnt2)[None, :] * mask2
+
+        # both directions share the gradient form
+        #   dx_i += 2 (rowsum(W) x_i - sum_j W_ij y_j)
+        #   dy_j -= 2 (sum_i W_ij x_i - colsum(W) y_j)
+        # so one combined W needs just two skinny MXU matmuls
+        W = w1 + w2
+        row_w = jnp.sum(W, axis=1)  # [Nx]
+        col_w = jnp.sum(W, axis=0)  # [Ny]
+        y_acc = jax.lax.dot_general(
+            yc, W, (((1, ), (1, )), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # [3, Nx]
+        x_acc = jax.lax.dot_general(
+            xc, W, (((1, ), (0, )), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # [3, Ny]
+        dx_ref[0, i, 0:3, :] += 2.0 * (row_w[None, :] * xc - y_acc)
+        dy_ref[0, j, 0:3, :] += -2.0 * (x_acc - col_w[None, :] * yc)
+        return 0
+
+    jax.lax.fori_loop(0, n_p * n_p, pair_body, 0)
+
+
+def _fused_parts_fwd_pallas(xa, ya, n_parts):
+    B, P, _, npad = xa.shape
+    d1, d2 = pl.pallas_call(
+        functools.partial(_fused_parts_fwd_kernel, npad=npad, max_parts=P),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, ),
+            in_specs=[
+                pl.BlockSpec((1, P, 8, npad), lambda b, nref: (b, 0, 0, 0)),
+                pl.BlockSpec((1, P, 8, npad), lambda b, nref: (b, 0, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, P, 8, npad), lambda b, nref: (b, 0, 0, 0)),
+                pl.BlockSpec((1, P, 8, npad), lambda b, nref: (b, 0, 0, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, P, 8, npad), jnp.float32),
+            jax.ShapeDtypeStruct((B, P, 8, npad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(n_parts.astype(jnp.int32), xa, ya)
+    return d1, d2
+
+
+def _fused_parts_bwd_pallas(xa, ya, d1, d2, g1, g2, n_parts):
+    B, P, _, npad = xa.shape
+    dx, dy = pl.pallas_call(
+        functools.partial(_fused_parts_bwd_kernel, npad=npad, max_parts=P),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, ),
+            in_specs=[
+                pl.BlockSpec((1, P, 8, npad), lambda b, nref: (b, 0, 0, 0))
+            ] * 6,
+            out_specs=[
+                pl.BlockSpec((1, P, 8, npad), lambda b, nref: (b, 0, 0, 0)),
+                pl.BlockSpec((1, P, 8, npad), lambda b, nref: (b, 0, 0, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, P, 8, npad), jnp.float32),
+            jax.ShapeDtypeStruct((B, P, 8, npad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(n_parts.astype(jnp.int32), xa, ya, d1, d2, g1, g2)
+    return dx, dy
+
+
+def _row0_embed(v, npad):
+    """[B, P, N] -> [B, P, 8, Npad] with data in row 0 (kernel layout)."""
+    B, P, N = v.shape
+    out = jnp.zeros((B, P, 8, npad), jnp.float32)
+    return out.at[:, :, 0, :N].set(v)
+
+
 def _parts_bwd_one(g, x, y, idx, npad):
     """Gradient of one direction: d_i = |x_i - y_{idx_i}|^2."""
     B, P, N, _ = x.shape
@@ -387,22 +561,47 @@ def chamfer_parts(part_pcs1, part_pcs2, valids):
     return d1.reshape(B, P * N), d2.reshape(B, P * N)
 
 
+def _use_fused():
+    return _HAS_PLTPU and any(d.platform == 'tpu' for d in jax.devices())
+
+
 @jax.custom_vjp
 def _chamfer_parts_core(xyz1, xyz2, n_parts):
-    d1, _ = _nn_parts_pallas(xyz1, xyz2, n_parts)
-    d2, _ = _nn_parts_pallas(xyz2, xyz1, n_parts)
-    return d1, d2
+    return _chamfer_parts_core_fwd(xyz1, xyz2, n_parts)[0]
 
 
 def _chamfer_parts_core_fwd(xyz1, xyz2, n_parts):
+    N = xyz1.shape[2]
+    if _use_fused():
+        npad = _round_up(N, 128)
+        xa = _aug_x(xyz1.astype(jnp.float32), npad)
+        ya = _aug_y(xyz2.astype(jnp.float32), npad)
+        d1e, d2e = _fused_parts_fwd_pallas(xa, ya, n_parts)
+        d1 = d1e[:, :, 0, :N]
+        d2 = d2e[:, :, 0, :N]
+        return (d1, d2), (xa, ya, d1e, d2e, n_parts)
     d1, i1 = _nn_parts_pallas(xyz1, xyz2, n_parts)
     d2, i2 = _nn_parts_pallas(xyz2, xyz1, n_parts)
     return (d1, d2), (xyz1, xyz2, i1, i2, n_parts)
 
 
 def _chamfer_parts_core_bwd(res, grads):
-    xyz1, xyz2, i1, i2, n_parts = res
     g1, g2 = grads
+    # the dispatch decision is trace-time static, so fwd/bwd agree on the
+    # residual structure
+    if _use_fused():
+        xa, ya, d1e, d2e, n_parts = res
+        npad = xa.shape[-1]
+        N = g1.shape[-1]
+        g1e = _row0_embed(g1, npad)
+        g2e = _row0_embed(g2, npad)
+        dxe, dye = _fused_parts_bwd_pallas(xa, ya, d1e, d2e, g1e, g2e,
+                                           n_parts)
+        dx = jnp.swapaxes(dxe[:, :, 0:3, :N], 2, 3)  # [B, P, N, 3]
+        dy = jnp.swapaxes(dye[:, :, 0:3, :N], 2, 3)
+        return dx, dy, None
+
+    xyz1, xyz2, i1, i2, n_parts = res
     P, N = xyz1.shape[1], xyz1.shape[2]
     npad = _round_up(N, 128)
     # zero cotangents at padded parts: their dist outputs are sentinel zeros
@@ -416,6 +615,27 @@ def _chamfer_parts_core_bwd(res, grads):
 
 
 _chamfer_parts_core.defvjp(_chamfer_parts_core_fwd, _chamfer_parts_core_bwd)
+
+
+def chamfer_pairs(pts1, pts2, pair_valids):
+    """Per-pair chamfer with invalid pairs skipped on device.
+
+    Drop-in for the reference's flattened per-part chamfer
+    (loss.py:113-138, eval_utils.py:12-46: chamfer over [B*P, N, 3] where
+    padded parts are all-zero clouds).  Treat each pair as a 1-part shape:
+    invalid pairs get 0 distances and are skipped by the kernel.
+
+    Args:
+        pts1, pts2: [M, N, 3];  pair_valids: [M] 1/0
+
+    Returns:
+        dist1, dist2: [M, N]
+    """
+    M, N, _ = pts1.shape
+    d1, d2 = _chamfer_parts_core(
+        pts1[:, None], pts2[:, None],
+        pair_valids.astype(jnp.int32).reshape(M))
+    return d1.reshape(M, N), d2.reshape(M, N)
 
 
 def chamfer_distance(xyz1, xyz2, transpose=False, sqrt=False, eps=1e-12):

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.chamfer import chamfer_distance
+from ..ops.chamfer import chamfer_pairs
 from .loss import _valid_mean
 from .transforms import transform_pc
 
@@ -25,8 +25,9 @@ def calc_part_acc(pts, trans1, trans2, rot1, rot2, valids):
     B, P, N, _ = pts.shape
     pts1 = transform_pc(trans1, rot1, pts)
     pts2 = transform_pc(trans2, rot2, pts)
-    dist1, dist2 = chamfer_distance(
-        pts1.reshape(B * P, N, 3), pts2.reshape(B * P, N, 3))
+    dist1, dist2 = chamfer_pairs(
+        pts1.reshape(B * P, N, 3), pts2.reshape(B * P, N, 3),
+        valids.reshape(B * P))
     loss_per_part = (jnp.mean(dist1, 1) + jnp.mean(dist2, 1)).reshape(B, P)
 
     thre = 0.01

@@ -9,7 +9,7 @@ away (loss.py:172-182).
 import jax
 import jax.numpy as jnp
 
-from ..ops.chamfer import chamfer_distance, chamfer_parts
+from ..ops.chamfer import chamfer_distance, chamfer_pairs, chamfer_parts
 from .rotation import Rotation3D
 from .transforms import rot_pc, transform_pc
 
@@ -83,8 +83,11 @@ def rot_points_cd_loss(pts, rot1, rot2, valids, ret_pts=False):
     B, P, N, _ = pts.shape
     pts1 = rot_pc(rot1, pts)
     pts2 = rot_pc(rot2, pts)
-    dist1, dist2 = chamfer_distance(
-        pts1.reshape(B * P, N, 3), pts2.reshape(B * P, N, 3))
+    # per-pair chamfer with padded pairs skipped (their loss is masked out
+    # by _valid_mean anyway)
+    dist1, dist2 = chamfer_pairs(
+        pts1.reshape(B * P, N, 3), pts2.reshape(B * P, N, 3),
+        valids.reshape(B * P))
     loss_per_part = (jnp.mean(dist1, axis=1) +
                      jnp.mean(dist2, axis=1)).reshape(B, P)
     loss_per_data = _valid_mean(loss_per_part, valids)
