@@ -369,9 +369,46 @@ def _nn_parts_ref(x, y, n_parts, npad=None):
 # scan hit; ties are measure-zero for real data).
 
 
+def _split3(aug):
+    """f32 -> three bf16 terms covering 8+8+8 mantissa bits (~f32 exact).
+
+    Truncating splits are built by bitcast mantissa masking: under
+    --xla_allow_excess_precision (set in this runtime) XLA may elide a
+    plain f32->bf16 rounding, which would zero the tail terms."""
+
+    def trunc8(v):
+        bits = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        return jax.lax.bitcast_convert_type(
+            bits & jnp.uint32(0xFFFF0000), jnp.float32)
+
+    a1f = trunc8(aug)
+    r1 = aug - a1f
+    a2f = trunc8(r1)
+    a3 = (r1 - a2f).astype(jnp.bfloat16)
+    return a1f.astype(jnp.bfloat16), a2f.astype(jnp.bfloat16), a3
+
+
+def _pack_x48(aug):
+    """[B, P, 8, Npad] f32 -> [B, P, 48, Npad] bf16.
+
+    With X48 = [a1,a1,a1,a2,a2,a3] and Y48 = [b1,b2,b3,b1,b2,b1], one bf16
+    MXU pass of X48^T Y48 (f32 accumulation) sums the 6 significant
+    cross-products of the 3-term splits -- f32 x f32 accuracy to ~2^-24
+    relative (the dropped terms are <= 2^-32).  On the MXU a K <= 128
+    contraction costs one pass regardless of K, so this is ~6x cheaper
+    than a HIGHEST (6-pass) f32 matmul of the same shape."""
+    a1, a2, a3 = _split3(aug)
+    return jnp.concatenate([a1, a1, a1, a2, a2, a3], axis=2)
+
+
+def _pack_y48(aug):
+    b1, b2, b3 = _split3(aug)
+    return jnp.concatenate([b1, b2, b3, b1, b2, b1], axis=2)
+
+
 def _fused_parts_fwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref, *,
                             npad, max_parts):
-    """Grid (B,).  x_ref/y_ref: [1, P, 8, Npad] augmented parts.
+    """Grid (B,).  x_ref/y_ref: [1, P, 48, Npad] split-packed bf16 parts.
     d1_ref/d2_ref: [1, P, 8, Npad] with row 0 = min squared distance."""
     b = pl.program_id(0)
     n_p = nparts_ref[b]
@@ -383,15 +420,14 @@ def _fused_parts_fwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref, *,
     def pair_body(k, _):
         i = k // n_p
         j = k % n_p
-        xa = x_ref[0, i]  # [8, Npad]: rows (x, y, z, 1, |x|^2, 0...)
-        ya = y_ref[0, j]  # [8, Npad]: rows (-2x, -2y, -2z, |y|^2, 1, 0...)
-        # the augmentation makes this the full |x - y|^2 with no epilogue
-        # adds; the backward recomputes the identical op so witness
-        # equality is bit-exact (Mosaic supports DEFAULT/HIGHEST only)
+        x24 = x_ref[0, i]  # [32, Npad] bf16 hi/lo packed
+        y24 = y_ref[0, j]
+        # one bf16 MXU pass = full |x - y|^2 in near-f32 accuracy (see
+        # _split24); backward recomputes the identical op so witness
+        # equality is bit-exact
         d = jax.lax.dot_general(
-            xa, ya, (((0, ), (0, )), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            x24, y24, (((0, ), (0, )), ((), ())),
+            preferred_element_type=jnp.float32)
         d1_ref[0, i, 0, :] = jnp.minimum(d1_ref[0, i, 0, :],
                                          jnp.min(d, axis=1))
         d2_ref[0, j, 0, :] = jnp.minimum(d2_ref[0, j, 0, :],
@@ -425,17 +461,23 @@ def _fused_parts_bwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref, g1_ref,
     def pair_body(k, _):
         i = k // n_p
         j = k % n_p
-        xa = x_ref[0, i]
-        ya = y_ref[0, j]
-        # identical recompute to the forward (same op, same precision)
+        x24 = x_ref[0, i]
+        y24 = y_ref[0, j]
+        # identical recompute to the forward (same op, same inputs)
         d = jnp.maximum(
             jax.lax.dot_general(
-                xa, ya, (((0, ), (0, )), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST), 0.0)
+                x24, y24, (((0, ), (0, )), ((), ())),
+                preferred_element_type=jnp.float32), 0.0)
 
-        xc = xa[:3, :]              # [3, Npad] x coords
-        yc = ya[:3, :] * (-0.5)     # [3, Npad] y coords (undo the -2 scale)
+        # reconstruct f32 coords from the split rows: x terms live at rows
+        # 0-7 (a1), 24-31 (a2), 40-47 (a3); y terms (scaled by -2) at rows
+        # 0-7 (b1), 8-15 (b2), 16-23 (b3)
+        xc = (x24[0:3, :].astype(jnp.float32) +
+              x24[24:27, :].astype(jnp.float32) +
+              x24[40:43, :].astype(jnp.float32))
+        yc = (y24[0:3, :].astype(jnp.float32) +
+              y24[8:11, :].astype(jnp.float32) +
+              y24[16:19, :].astype(jnp.float32)) * (-0.5)
 
         # witness masks vs the saved minima; gradients of ties split evenly
         d1 = d1_ref[0, i, 0, :]
@@ -469,16 +511,16 @@ def _fused_parts_bwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref, g1_ref,
     jax.lax.fori_loop(0, n_p * n_p, pair_body, 0)
 
 
-def _fused_parts_fwd_pallas(xa, ya, n_parts):
-    B, P, _, npad = xa.shape
+def _fused_parts_fwd_pallas(x24, y24, n_parts):
+    B, P, _, npad = x24.shape
     d1, d2 = pl.pallas_call(
         functools.partial(_fused_parts_fwd_kernel, npad=npad, max_parts=P),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, ),
             in_specs=[
-                pl.BlockSpec((1, P, 8, npad), lambda b, nref: (b, 0, 0, 0)),
-                pl.BlockSpec((1, P, 8, npad), lambda b, nref: (b, 0, 0, 0)),
+                pl.BlockSpec((1, P, 48, npad), lambda b, nref: (b, 0, 0, 0)),
+                pl.BlockSpec((1, P, 48, npad), lambda b, nref: (b, 0, 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, P, 8, npad), lambda b, nref: (b, 0, 0, 0)),
@@ -491,20 +533,23 @@ def _fused_parts_fwd_pallas(xa, ya, n_parts):
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(n_parts.astype(jnp.int32), xa, ya)
+    )(n_parts.astype(jnp.int32), x24, y24)
     return d1, d2
 
 
-def _fused_parts_bwd_pallas(xa, ya, d1, d2, g1, g2, n_parts):
-    B, P, _, npad = xa.shape
+def _fused_parts_bwd_pallas(x24, y24, d1, d2, g1, g2, n_parts):
+    B, P, _, npad = x24.shape
     dx, dy = pl.pallas_call(
         functools.partial(_fused_parts_bwd_kernel, npad=npad, max_parts=P),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, ),
             in_specs=[
+                pl.BlockSpec((1, P, 48, npad), lambda b, nref: (b, 0, 0, 0)),
+                pl.BlockSpec((1, P, 48, npad), lambda b, nref: (b, 0, 0, 0)),
+            ] + [
                 pl.BlockSpec((1, P, 8, npad), lambda b, nref: (b, 0, 0, 0))
-            ] * 6,
+            ] * 4,
             out_specs=[
                 pl.BlockSpec((1, P, 8, npad), lambda b, nref: (b, 0, 0, 0)),
                 pl.BlockSpec((1, P, 8, npad), lambda b, nref: (b, 0, 0, 0)),
@@ -516,7 +561,7 @@ def _fused_parts_bwd_pallas(xa, ya, d1, d2, g1, g2, n_parts):
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(n_parts.astype(jnp.int32), xa, ya, d1, d2, g1, g2)
+    )(n_parts.astype(jnp.int32), x24, y24, d1, d2, g1, g2)
     return dx, dy
 
 
@@ -574,12 +619,12 @@ def _chamfer_parts_core_fwd(xyz1, xyz2, n_parts):
     N = xyz1.shape[2]
     if _use_fused():
         npad = _round_up(N, 128)
-        xa = _aug_x(xyz1.astype(jnp.float32), npad)
-        ya = _aug_y(xyz2.astype(jnp.float32), npad)
-        d1e, d2e = _fused_parts_fwd_pallas(xa, ya, n_parts)
+        x24 = _pack_x48(_aug_x(xyz1.astype(jnp.float32), npad))
+        y24 = _pack_y48(_aug_y(xyz2.astype(jnp.float32), npad))
+        d1e, d2e = _fused_parts_fwd_pallas(x24, y24, n_parts)
         d1 = d1e[:, :, 0, :N]
         d2 = d2e[:, :, 0, :N]
-        return (d1, d2), (xa, ya, d1e, d2e, n_parts)
+        return (d1, d2), (x24, y24, d1e, d2e, n_parts)
     d1, i1 = _nn_parts_pallas(xyz1, xyz2, n_parts)
     d2, i2 = _nn_parts_pallas(xyz2, xyz1, n_parts)
     return (d1, d2), (xyz1, xyz2, i1, i2, n_parts)
@@ -590,12 +635,12 @@ def _chamfer_parts_core_bwd(res, grads):
     # the dispatch decision is trace-time static, so fwd/bwd agree on the
     # residual structure
     if _use_fused():
-        xa, ya, d1e, d2e, n_parts = res
-        npad = xa.shape[-1]
+        x24, y24, d1e, d2e, n_parts = res
+        npad = x24.shape[-1]
         N = g1.shape[-1]
         g1e = _row0_embed(g1, npad)
         g2e = _row0_embed(g2, npad)
-        dxe, dye = _fused_parts_bwd_pallas(xa, ya, d1e, d2e, g1e, g2e,
+        dxe, dye = _fused_parts_bwd_pallas(x24, y24, d1e, d2e, g1e, g2e,
                                            n_parts)
         dx = jnp.swapaxes(dxe[:, :, 0:3, :N], 2, 3)  # [B, P, N, 3]
         dy = jnp.swapaxes(dye[:, :, 0:3, :N], 2, 3)
