@@ -14,7 +14,9 @@ Split of responsibilities, TPU-style:
   device (augment_geometry_batch, jit-compiled):
     - per-part recenter, random SO(3) (or bounded-euler) rotation with the
       GT quat being the *inverse* rotation in scalar-first order
-      (geometry_data.py:73-91), per-part point shuffle (:93-99)
+      (geometry_data.py:73-91); the reference's per-part point shuffle
+      (:93-99) is optional here -- the native sampler already emits points
+      in i.i.d. random order
 """
 
 import functools
@@ -135,14 +137,19 @@ class GeometryPartDataset:
         return data_dict
 
 
-@functools.partial(jax.jit, static_argnames=('rot_range', ))
-def augment_geometry_batch(part_pcs_raw, part_valids, key, rot_range=-1.0):
+@functools.partial(jax.jit, static_argnames=('rot_range', 'shuffle_points'))
+def augment_geometry_batch(part_pcs_raw, part_valids, key, rot_range=-1.0,
+                           shuffle_points=False):
     """Device-side augmentation (jit): recenter + random rotation + shuffle.
 
     Equivalent to reference geometry_data.py:73-99 per part:
       - subtract centroid; GT trans = centroid
       - apply random rotation R; GT quat = quat(R^T) scalar-first (:90)
-      - shuffle point order
+      - optional per-part point shuffle: off by default since the native
+        surface sampler already emits points in i.i.d. random order (each
+        point is an independent (face, barycentric) draw), making the
+        reference's shuffle (geometry_data.py:93-99) distributionally a
+        no-op while its argsort costs ~5ms/step on device
 
     Args:
         part_pcs_raw: [B, P, N, 3]; part_valids: [B, P]; key: PRNG
@@ -186,10 +193,10 @@ def augment_geometry_batch(part_pcs_raw, part_valids, key, rot_range=-1.0):
     # GT rotation undoes the augmentation: quat of R^T (scalar-first)
     gt_quat = quaternion_invert(quat)
 
-    # per-part point shuffle
-    shuf = jax.random.uniform(k_shuf, (B, P, N))
-    order = jnp.argsort(shuf, axis=-1)
-    pcs = jnp.take_along_axis(pcs, order[..., None], axis=2)
+    if shuffle_points:
+        shuf = jax.random.uniform(k_shuf, (B, P, N))
+        order = jnp.argsort(shuf, axis=-1)
+        pcs = jnp.take_along_axis(pcs, order[..., None], axis=2)
 
     pcs = pcs * valid[..., None]
     gt_quat = gt_quat * valid

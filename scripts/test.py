@@ -32,6 +32,8 @@ def main():
     parser.add_argument('--cfg_file', required=True, type=str)
     parser.add_argument('--category', type=str, default='')
     parser.add_argument('--weight', type=str, default='')
+    parser.add_argument('--opts', nargs='*', default=[],
+                        help='config overrides: key value [key value ...]')
     parser.add_argument('--min_num_part', type=int, default=-1)
     parser.add_argument('--max_num_part', type=int, default=-1)
     args = parser.parse_args()
@@ -39,6 +41,8 @@ def main():
     from multi_part_assembly_tpu.utils import load_cfg_file
 
     cfg = load_cfg_file(args.cfg_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
     if args.min_num_part > 0:
         cfg.data.min_num_part = args.min_num_part
     if args.max_num_part > 0:

@@ -27,6 +27,8 @@ def main():
                         help='dataset category override')
     parser.add_argument('--weight', type=str, default='',
                         help='load weights (auto-resume wins if ckpts exist)')
+    parser.add_argument('--opts', nargs='*', default=[],
+                        help='config overrides: key value [key value ...]')
     parser.add_argument('--ckp_dir', type=str, default='')
     parser.add_argument('--overfit', type=int, default=-1)
     parser.add_argument('--bf16', action='store_true',
@@ -43,6 +45,8 @@ def main():
     from multi_part_assembly_tpu.utils import load_cfg_file
 
     cfg = load_cfg_file(args.cfg_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
     if args.category:
         cfg.data.category = args.category
     if args.overfit > 0:

@@ -16,6 +16,8 @@ def main():
     parser = argparse.ArgumentParser(description='Visualization script')
     parser.add_argument('--cfg_file', required=True, type=str)
     parser.add_argument('--weight', type=str, default='')
+    parser.add_argument('--opts', nargs='*', default=[],
+                        help='config overrides: key value [key value ...]')
     parser.add_argument('--category', type=str, default='')
     parser.add_argument('--vis', type=int, default=10,
                         help='number of shapes to export')
@@ -32,6 +34,8 @@ def main():
                                                transform_pc)
 
     cfg = load_cfg_file(args.cfg_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
     if args.category:
         cfg.data.category = args.category
     cfg.freeze()
