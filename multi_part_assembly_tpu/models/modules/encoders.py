@@ -24,21 +24,29 @@ __all__ = ['PointNet', 'DGCNN', 'PointNet2SSG', 'PointNet2MSG',
 
 class PointNet(nn.Module):
     """PointNet: 5x (Dense + BN + ReLU), global max-pool
-    (reference encoder/pointnet.py:6-41: 3-64-64-64-128-feat)."""
+    (reference encoder/pointnet.py:6-41: 3-64-64-64-128-feat).
+
+    The per-point path runs in bf16 (the reference trains with --fp16 AMP,
+    docs/model.md:76); BN statistics and the pooled output are f32.
+    """
 
     feat_dim: int
     global_feat: bool = True
+    compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, mask=None, train=True):
         """x: [..., N, 3]; mask: [...] per-cloud validity for BN stats."""
         point_mask = None if mask is None else mask[..., None]
         dims = (64, 64, 64, 128, self.feat_dim)
+        x = x.astype(self.compute_dtype)
         for i, d in enumerate(dims):
-            x = nn.Dense(d, use_bias=False, name=f'conv{i + 1}')(x)
+            x = nn.Dense(d, use_bias=False, dtype=self.compute_dtype,
+                         name=f'conv{i + 1}')(x)
             x = MaskedBatchNorm(name=f'bn{i + 1}')(x, point_mask, train)
             if i < len(dims) - 1:  # last layer: BN only (pointnet.py:37)
                 x = nn.relu(x)
+        x = x.astype(jnp.float32)
         if self.global_feat:
             return jnp.max(x, axis=-2)  # [..., feat_dim]
         return x

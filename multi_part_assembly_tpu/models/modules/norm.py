@@ -43,16 +43,18 @@ class MaskedBatchNorm(nn.Module):
         bias = self.param('bias', nn.initializers.zeros, (features, ))
 
         if train:
+            # statistics always in f32, even for bf16 activations
+            xs = x.astype(jnp.float32)
             reduce_axes = tuple(range(x.ndim - 1))
             if mask is None:
-                mean = jnp.mean(x, axis=reduce_axes)
-                var = jnp.mean((x - mean)**2, axis=reduce_axes)
+                mean = jnp.mean(xs, axis=reduce_axes)
+                var = jnp.mean((xs - mean)**2, axis=reduce_axes)
             else:
-                w = jnp.broadcast_to(mask[..., None].astype(x.dtype),
-                                     x.shape)
+                w = jnp.broadcast_to(mask[..., None].astype(jnp.float32),
+                                     xs.shape)
                 denom = jnp.maximum(jnp.sum(w, axis=reduce_axes), 1.0)
-                mean = jnp.sum(x * w, axis=reduce_axes) / denom
-                var = jnp.sum(w * (x - mean)**2, axis=reduce_axes) / denom
+                mean = jnp.sum(xs * w, axis=reduce_axes) / denom
+                var = jnp.sum(w * (xs - mean)**2, axis=reduce_axes) / denom
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + \
                     (1.0 - self.momentum) * mean
@@ -61,5 +63,7 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale + bias
+        factor = (scale * jax.lax.rsqrt(var + self.epsilon)).astype(x.dtype)
+        offset = (bias - mean * scale *
+                  jax.lax.rsqrt(var + self.epsilon)).astype(x.dtype)
+        return x * factor + offset

@@ -167,3 +167,30 @@ def test_eval_deterministic_across_mon_keys(rng):
                            jax.random.PRNGKey(5), cfg=cfg3, training=False)
     np.testing.assert_allclose(float(logs1['loss']), float(logs3['loss']),
                                rtol=1e-5)
+
+
+def test_train_step_rmat_rot_type(rng):
+    """6D-rotation models: forward, matching, losses, metrics under rmat."""
+    cfg = _make_cfg('pn_transformer', 'geometry', sample_iter=1, noise_dim=0)
+    cfg.model.rot_type = 'rmat'
+    model = build_model(cfg)
+    batch = _fake_batch(rng)
+    state, tx, _ = create_train_state(
+        model, cfg, batch, jax.random.PRNGKey(0), steps_per_epoch=2)
+    train_step = make_train_step(model, tx, cfg, mesh=None, donate=False)
+    state1, logs = train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs['loss']))
+    eval_step = make_eval_step(model, cfg, mesh=None)
+    eval_logs = eval_step(state1, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(np.asarray(eval_logs['rot_rmse'])).all()
+
+    # semantic + rmat (matching path with 3x3 rotations)
+    cfg2 = _make_cfg('global', 'partnet', sample_iter=2, noise_dim=8)
+    cfg2.model.rot_type = 'rmat'
+    model2 = build_model(cfg2)
+    batch2 = _fake_batch(rng, semantic=True)
+    state2, tx2, _ = create_train_state(
+        model2, cfg2, batch2, jax.random.PRNGKey(0), steps_per_epoch=2)
+    step2 = make_train_step(model2, tx2, cfg2, mesh=None, donate=False)
+    _, logs2 = step2(state2, batch2, jax.random.PRNGKey(3))
+    assert np.isfinite(float(logs2['loss']))
