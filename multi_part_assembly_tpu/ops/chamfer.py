@@ -407,7 +407,7 @@ def _pack_y48(aug):
 
 
 def _fused_parts_fwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref, *,
-                            npad, max_parts):
+                            npad, max_parts, diagonal=False):
     """Grid (B,).  x_ref/y_ref: [1, P, 48, Npad] split-packed bf16 parts.
     d1_ref/d2_ref: [1, P, 8, Npad] with row 0 = min squared distance."""
     b = pl.program_id(0)
@@ -418,8 +418,10 @@ def _fused_parts_fwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref, *,
     d2_ref[0, :, 0, :] = jnp.full((max_parts, npad), BIG, jnp.float32)
 
     def pair_body(k, _):
-        i = k // n_p
-        j = k % n_p
+        # diagonal mode: each part pairs only with its own counterpart
+        # (per-part chamfer, reference loss.py:113-138 / eval_utils.py:12-46)
+        i = k if diagonal else k // n_p
+        j = k if diagonal else k % n_p
         x24 = x_ref[0, i]  # [32, Npad] bf16 hi/lo packed
         y24 = y_ref[0, j]
         # one bf16 MXU pass = full |x - y|^2 in near-f32 accuracy (see
@@ -434,7 +436,7 @@ def _fused_parts_fwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref, *,
                                          jnp.min(d, axis=0))
         return 0
 
-    jax.lax.fori_loop(0, n_p * n_p, pair_body, 0)
+    jax.lax.fori_loop(0, n_p if diagonal else n_p * n_p, pair_body, 0)
 
     # finalize: clamp fp noise at 0, zero out invalid parts
     part_valid = jax.lax.broadcasted_iota(
@@ -446,7 +448,8 @@ def _fused_parts_fwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref, *,
 
 
 def _fused_parts_bwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref, g1_ref,
-                            g2_ref, dx_ref, dy_ref, *, npad, max_parts):
+                            g2_ref, dx_ref, dy_ref, *, npad, max_parts,
+                            diagonal=False):
     """Backward of the fused chamfer.  Same grid/loop as forward; witnesses
     are tiles equal to the saved min, gradients accumulate as:
         dx_i += 2 (g1_i x_i - sum_j w1_ij y_j) + (direction-2 terms)
@@ -459,8 +462,10 @@ def _fused_parts_bwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref, g1_ref,
     dy_ref[0] = jnp.zeros((max_parts, 8, npad), jnp.float32)
 
     def pair_body(k, _):
-        i = k // n_p
-        j = k % n_p
+        # diagonal mode: each part pairs only with its own counterpart
+        # (per-part chamfer, reference loss.py:113-138 / eval_utils.py:12-46)
+        i = k if diagonal else k // n_p
+        j = k if diagonal else k % n_p
         x24 = x_ref[0, i]
         y24 = y_ref[0, j]
         # identical recompute to the forward (same op, same inputs)
@@ -508,13 +513,14 @@ def _fused_parts_bwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref, g1_ref,
         dy_ref[0, j, 0:3, :] += -2.0 * (x_acc - col_w[None, :] * yc)
         return 0
 
-    jax.lax.fori_loop(0, n_p * n_p, pair_body, 0)
+    jax.lax.fori_loop(0, n_p if diagonal else n_p * n_p, pair_body, 0)
 
 
-def _fused_parts_fwd_pallas(x24, y24, n_parts):
+def _fused_parts_fwd_pallas(x24, y24, n_parts, diagonal=False):
     B, P, _, npad = x24.shape
     d1, d2 = pl.pallas_call(
-        functools.partial(_fused_parts_fwd_kernel, npad=npad, max_parts=P),
+        functools.partial(_fused_parts_fwd_kernel, npad=npad, max_parts=P,
+                          diagonal=diagonal),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, ),
@@ -537,10 +543,12 @@ def _fused_parts_fwd_pallas(x24, y24, n_parts):
     return d1, d2
 
 
-def _fused_parts_bwd_pallas(x24, y24, d1, d2, g1, g2, n_parts):
+def _fused_parts_bwd_pallas(x24, y24, d1, d2, g1, g2, n_parts,
+                            diagonal=False):
     B, P, _, npad = x24.shape
     dx, dy = pl.pallas_call(
-        functools.partial(_fused_parts_bwd_kernel, npad=npad, max_parts=P),
+        functools.partial(_fused_parts_bwd_kernel, npad=npad, max_parts=P,
+                          diagonal=diagonal),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, ),
@@ -610,56 +618,100 @@ def _use_fused():
     return _HAS_PLTPU and any(d.platform == 'tpu' for d in jax.devices())
 
 
-@jax.custom_vjp
-def _chamfer_parts_core(xyz1, xyz2, n_parts):
-    return _chamfer_parts_core_fwd(xyz1, xyz2, n_parts)[0]
+def _make_parts_core(diagonal):
+    """Build the custom-VJP chamfer core.
 
+    diagonal=False: whole-shape chamfer across all valid part pairs.
+    diagonal=True: per-part chamfer -- part i of cloud 1 vs part i of
+    cloud 2 only (reference's flattened per-part chamfer calls).
+    """
 
-def _chamfer_parts_core_fwd(xyz1, xyz2, n_parts):
-    N = xyz1.shape[2]
-    if _use_fused():
+    @jax.custom_vjp
+    def core(xyz1, xyz2, n_parts):
+        return core_fwd(xyz1, xyz2, n_parts)[0]
+
+    def core_fwd(xyz1, xyz2, n_parts):
+        N = xyz1.shape[2]
+        if _use_fused():
+            npad = _round_up(N, 128)
+            x48 = _pack_x48(_aug_x(xyz1.astype(jnp.float32), npad))
+            y48 = _pack_y48(_aug_y(xyz2.astype(jnp.float32), npad))
+            d1e, d2e = _fused_parts_fwd_pallas(x48, y48, n_parts,
+                                               diagonal=diagonal)
+            return (d1e[:, :, 0, :N], d2e[:, :, 0, :N]), \
+                (x48, y48, d1e, d2e, n_parts)
+        if diagonal:
+            # reference path: each part as an independent 1-part shape
+            B, P = xyz1.shape[:2]
+            flags = (jnp.arange(P)[None, :] <
+                     n_parts[:, None]).astype(jnp.int32).reshape(B * P)
+            x1 = xyz1.reshape(B * P, 1, N, 3)
+            x2 = xyz2.reshape(B * P, 1, N, 3)
+            d1, i1 = _nn_parts_pallas(x1, x2, flags)
+            d2, i2 = _nn_parts_pallas(x2, x1, flags)
+            return (d1.reshape(B, P, N), d2.reshape(B, P, N)), \
+                (xyz1, xyz2, i1, i2, n_parts)
+        d1, i1 = _nn_parts_pallas(xyz1, xyz2, n_parts)
+        d2, i2 = _nn_parts_pallas(xyz2, xyz1, n_parts)
+        return (d1, d2), (xyz1, xyz2, i1, i2, n_parts)
+
+    def core_bwd(res, grads):
+        g1, g2 = grads
+        # the dispatch decision is trace-time static, so fwd/bwd agree on
+        # the residual structure
+        if _use_fused():
+            x48, y48, d1e, d2e, n_parts = res
+            npad = x48.shape[-1]
+            N = g1.shape[-1]
+            g1e = _row0_embed(g1, npad)
+            g2e = _row0_embed(g2, npad)
+            dxe, dye = _fused_parts_bwd_pallas(
+                x48, y48, d1e, d2e, g1e, g2e, n_parts, diagonal=diagonal)
+            dx = jnp.swapaxes(dxe[:, :, 0:3, :N], 2, 3)  # [B, P, N, 3]
+            dy = jnp.swapaxes(dye[:, :, 0:3, :N], 2, 3)
+            return dx, dy, None
+
+        xyz1, xyz2, i1, i2, n_parts = res
+        B, P, N = xyz1.shape[:3]
         npad = _round_up(N, 128)
-        x24 = _pack_x48(_aug_x(xyz1.astype(jnp.float32), npad))
-        y24 = _pack_y48(_aug_y(xyz2.astype(jnp.float32), npad))
-        d1e, d2e = _fused_parts_fwd_pallas(x24, y24, n_parts)
-        d1 = d1e[:, :, 0, :N]
-        d2 = d2e[:, :, 0, :N]
-        return (d1, d2), (x24, y24, d1e, d2e, n_parts)
-    d1, i1 = _nn_parts_pallas(xyz1, xyz2, n_parts)
-    d2, i2 = _nn_parts_pallas(xyz2, xyz1, n_parts)
-    return (d1, d2), (xyz1, xyz2, i1, i2, n_parts)
+        # zero cotangents at padded parts: their dist outputs are sentinel
+        # zeros with garbage witness indices
+        part_valid = (jnp.arange(P)[None, :] < n_parts[:, None])[..., None]
+        g1 = jnp.where(part_valid, g1, 0.0)
+        g2 = jnp.where(part_valid, g2, 0.0)
+        if diagonal:
+            sh = (B * P, 1, N)
+            x1 = xyz1.reshape(B * P, 1, N, 3)
+            x2 = xyz2.reshape(B * P, 1, N, 3)
+            dx_a, dy_a = _parts_bwd_one(g1.reshape(sh), x1, x2, i1, npad)
+            dy_b, dx_b = _parts_bwd_one(g2.reshape(sh), x2, x1, i2, npad)
+            return (dx_a + dx_b).reshape(xyz1.shape), \
+                (dy_a + dy_b).reshape(xyz2.shape), None
+        dx_a, dy_a = _parts_bwd_one(g1, xyz1, xyz2, i1, npad)
+        dy_b, dx_b = _parts_bwd_one(g2, xyz2, xyz1, i2, npad)
+        return dx_a + dx_b, dy_a + dy_b, None
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
 
 
-def _chamfer_parts_core_bwd(res, grads):
-    g1, g2 = grads
-    # the dispatch decision is trace-time static, so fwd/bwd agree on the
-    # residual structure
-    if _use_fused():
-        x24, y24, d1e, d2e, n_parts = res
-        npad = x24.shape[-1]
-        N = g1.shape[-1]
-        g1e = _row0_embed(g1, npad)
-        g2e = _row0_embed(g2, npad)
-        dxe, dye = _fused_parts_bwd_pallas(x24, y24, d1e, d2e, g1e, g2e,
-                                           n_parts)
-        dx = jnp.swapaxes(dxe[:, :, 0:3, :N], 2, 3)  # [B, P, N, 3]
-        dy = jnp.swapaxes(dye[:, :, 0:3, :N], 2, 3)
-        return dx, dy, None
-
-    xyz1, xyz2, i1, i2, n_parts = res
-    P, N = xyz1.shape[1], xyz1.shape[2]
-    npad = _round_up(N, 128)
-    # zero cotangents at padded parts: their dist outputs are sentinel zeros
-    # with garbage witness indices
-    part_valid = (jnp.arange(P)[None, :] < n_parts[:, None])[..., None]
-    g1 = jnp.where(part_valid, g1, 0.0)
-    g2 = jnp.where(part_valid, g2, 0.0)
-    dx_a, dy_a = _parts_bwd_one(g1, xyz1, xyz2, i1, npad)
-    dy_b, dx_b = _parts_bwd_one(g2, xyz2, xyz1, i2, npad)
-    return dx_a + dx_b, dy_a + dy_b, None
+_chamfer_parts_core = _make_parts_core(diagonal=False)
+_chamfer_diag_core = _make_parts_core(diagonal=True)
 
 
-_chamfer_parts_core.defvjp(_chamfer_parts_core_fwd, _chamfer_parts_core_bwd)
+def chamfer_diag(pts1, pts2, valids):
+    """Per-part chamfer: part i of pts1 vs part i of pts2, padded parts
+    skipped on device.  Drop-in for the reference's flattened per-part
+    chamfer (loss.py:113-138, eval_utils.py:12-46).
+
+    Args:
+        pts1, pts2: [B, P, N, 3];  valids: [B, P] 1/0 prefix mask
+
+    Returns:
+        dist1, dist2: [B, P, N] (zeros at padded parts)
+    """
+    n_parts = jnp.sum(valids.astype(jnp.int32), axis=1)
+    return _chamfer_diag_core(pts1, pts2, n_parts)
 
 
 def chamfer_pairs(pts1, pts2, pair_valids):

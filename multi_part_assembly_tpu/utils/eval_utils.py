@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.chamfer import chamfer_pairs
+from ..ops.chamfer import chamfer_diag
 from .loss import _valid_mean
 from .transforms import transform_pc
 
@@ -22,13 +22,10 @@ __all__ = [
 def calc_part_acc(pts, trans1, trans2, rot1, rot2, valids):
     """Part Accuracy: per-part chamfer < 0.01 counted per shape
     (reference eval_utils.py:12-46). -> [B]"""
-    B, P, N, _ = pts.shape
     pts1 = transform_pc(trans1, rot1, pts)
     pts2 = transform_pc(trans2, rot2, pts)
-    dist1, dist2 = chamfer_pairs(
-        pts1.reshape(B * P, N, 3), pts2.reshape(B * P, N, 3),
-        valids.reshape(B * P))
-    loss_per_part = (jnp.mean(dist1, 1) + jnp.mean(dist2, 1)).reshape(B, P)
+    dist1, dist2 = chamfer_diag(pts1, pts2, valids)  # [B, P, N]
+    loss_per_part = jnp.mean(dist1, 2) + jnp.mean(dist2, 2)
 
     thre = 0.01
     acc = (loss_per_part < thre) & (valids == 1)

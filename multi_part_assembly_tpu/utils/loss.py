@@ -9,7 +9,8 @@ away (loss.py:172-182).
 import jax
 import jax.numpy as jnp
 
-from ..ops.chamfer import chamfer_distance, chamfer_pairs, chamfer_parts
+from ..ops.chamfer import (chamfer_diag, chamfer_distance, chamfer_pairs,
+                           chamfer_parts)
 from .rotation import Rotation3D
 from .transforms import rot_pc, transform_pc
 
@@ -80,16 +81,12 @@ def rot_points_l2_loss(pts, rot1, rot2, valids, ret_pts=False):
 
 def rot_points_cd_loss(pts, rot1, rot2, valids, ret_pts=False):
     """Per-part chamfer between differently-rotated parts (loss.py:113-138)."""
-    B, P, N, _ = pts.shape
     pts1 = rot_pc(rot1, pts)
     pts2 = rot_pc(rot2, pts)
-    # per-pair chamfer with padded pairs skipped (their loss is masked out
+    # per-part chamfer with padded parts skipped (their loss is masked out
     # by _valid_mean anyway)
-    dist1, dist2 = chamfer_pairs(
-        pts1.reshape(B * P, N, 3), pts2.reshape(B * P, N, 3),
-        valids.reshape(B * P))
-    loss_per_part = (jnp.mean(dist1, axis=1) +
-                     jnp.mean(dist2, axis=1)).reshape(B, P)
+    dist1, dist2 = chamfer_diag(pts1, pts2, valids)  # [B, P, N]
+    loss_per_part = jnp.mean(dist1, axis=2) + jnp.mean(dist2, axis=2)
     loss_per_data = _valid_mean(loss_per_part, valids)
     if ret_pts:
         return loss_per_data, pts1, pts2
