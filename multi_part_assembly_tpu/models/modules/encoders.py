@@ -15,11 +15,11 @@ import jax.numpy as jnp
 
 from ...ops.knn import get_graph_feature
 from ...ops.sampling import (ball_query, furthest_point_sample, gather_points,
-                             group_points)
+                             group_points, three_interpolate, three_nn)
 from .norm import MaskedBatchNorm
 
 __all__ = ['PointNet', 'DGCNN', 'PointNet2SSG', 'PointNet2MSG',
-           'build_encoder']
+           'FeaturePropagation', 'build_encoder']
 
 
 class PointNet(nn.Module):
@@ -141,6 +141,33 @@ class _SetAbstraction(nn.Module):
             out = _SharedMLP(dims, name=f'mlp{i}')(grouped, m, train)
             outs.append(jnp.max(out, axis=2))  # [B, npoint, C']
         return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class FeaturePropagation(nn.Module):
+    """PointNet++ feature-propagation layer: 3-NN inverse-distance-weighted
+    feature upsampling + shared MLP (reference pointnet2_modules.py:149-209
+    `PointnetFPModule`; part of the op library, unused by the shipped
+    encoders but needed for dense-prediction heads)."""
+
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(self, unknown, known, unknown_feats, known_feats,
+                 mask=None, train=True):
+        """unknown: [B, n, 3]; known: [B, m, 3] or None (global feature);
+        unknown_feats: [B, n, C1] or None; known_feats: [B, m, C2]."""
+        if known is not None:
+            dist, idx = three_nn(unknown, known)
+            recip = 1.0 / jnp.maximum(dist, 1e-8)
+            weight = recip / jnp.sum(recip, axis=2, keepdims=True)
+            interp = three_interpolate(known_feats, idx, weight)
+        else:  # broadcast the single global feature (modules.py:186-188)
+            interp = jnp.broadcast_to(
+                known_feats, unknown.shape[:2] + (known_feats.shape[-1], ))
+        feats = interp if unknown_feats is None else \
+            jnp.concatenate([interp, unknown_feats], axis=-1)
+        m = None if mask is None else mask[..., None]
+        return _SharedMLP(self.mlp, name='mlp')(feats, m, train)
 
 
 class PointNet2SSG(nn.Module):

@@ -195,7 +195,33 @@ class Trainer:
         if jax.process_index() == 0:
             self.logger.log(metrics, step=int(self.state.step),
                             echo=sorted(metrics))
+            n_vis = self.cfg.exp.get('val_sample_vis', 0)
+            if n_vis and n_vis > 0:
+                self._export_val_vis(epoch, n_vis)
         return metrics
+
+    def _export_val_vis(self, epoch, n_vis):
+        """Sampled-assembly PLY export every val epoch (the reference's
+        PCAssemblyLogCallback logged these to wandb, callback.py:30-35)."""
+        from .vis_utils import export_assembly_samples, sample_assembly
+        try:
+            batch = next(iter(self.val_loader))
+        except StopIteration:
+            return
+        device_batch, bs = _prep_batch(batch, self.cfg, self.mesh,
+                                       jax.random.PRNGKey(epoch))
+        variables = {'params': self.state.params,
+                     'batch_stats': self.state.batch_stats}
+        gt_pcs, preds = sample_assembly(
+            self.model, variables, device_batch, self._next_rng(),
+            rot_type=self.cfg.model.rot_type,
+            sample_iter=self.cfg.loss.get('sample_iter', 1))
+        colors = self.cfg.data.get('colors', [[127, 127, 127]] * 21)
+        export_assembly_samples(
+            jax.tree_util.tree_map(lambda x: x[:bs], gt_pcs),
+            [p[:bs] for p in preds], device_batch['part_valids'][:bs],
+            colors, os.path.join(self.ckp_dir, 'vis'),
+            prefix=f'epoch{epoch}', max_shapes=min(n_vis, bs))
 
     def fit(self):
         cfg = self.cfg

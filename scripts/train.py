@@ -36,6 +36,9 @@ def main():
     parser.add_argument('--no_resume', action='store_true')
     parser.add_argument('--vis', type=int, default=-1,
                         help='samples to visualize per val epoch')
+    parser.add_argument('--profile', type=str, default='',
+                        help='capture a jax.profiler trace of the first '
+                             'epoch into this directory')
     args = parser.parse_args()
 
     from multi_part_assembly_tpu.parallel import init_distributed
@@ -51,6 +54,8 @@ def main():
         cfg.data.category = args.category
     if args.overfit > 0:
         cfg.data.overfit = args.overfit
+    if args.vis >= 0:
+        cfg.exp.val_sample_vis = args.vis
 
     cfg_name = os.path.splitext(os.path.basename(args.cfg_file))[0]
     ckp_dir = args.ckp_dir or os.path.join(
@@ -63,6 +68,13 @@ def main():
     trainer = Trainer(cfg, ckp_dir=ckp_dir, resume=not args.no_resume)
     if args.weight and trainer.start_epoch == 0:
         trainer.load_weights(args.weight)
+    if args.profile:
+        # trace one epoch for bottleneck analysis (the reference enabled
+        # Lightning's profiler='simple' for the same purpose, train.py:93)
+        import jax
+        with jax.profiler.trace(args.profile):
+            trainer.train_epoch(trainer.start_epoch)
+        print(f'profile trace written to {args.profile}')
     trainer.fit()
     trainer.close()
     print('Done training!')

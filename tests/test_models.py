@@ -183,3 +183,24 @@ def test_encoders(rng, arch):
     out, _ = enc.apply(variables, x, None, True, mutable=['batch_stats'])
     assert out.shape == (4, 32)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_feature_propagation(rng):
+    from multi_part_assembly_tpu.models.modules.encoders import \
+        FeaturePropagation
+    fp = FeaturePropagation(mlp=(16, 16))
+    unknown = jnp.asarray(rng.randn(2, 32, 3), jnp.float32)
+    known = jnp.asarray(rng.randn(2, 8, 3), jnp.float32)
+    kf = jnp.asarray(rng.randn(2, 8, 5), jnp.float32)
+    uf = jnp.asarray(rng.randn(2, 32, 4), jnp.float32)
+    v = fp.init(jax.random.PRNGKey(0), unknown, known, uf, kf, None, True)
+    out, _ = fp.apply(v, unknown, known, uf, kf, None, True,
+                      mutable=['batch_stats'])
+    assert out.shape == (2, 32, 16)
+    # global-feature broadcast path (known=None)
+    gf = jnp.asarray(rng.randn(2, 1, 5), jnp.float32)
+    v2 = fp.init(jax.random.PRNGKey(0), unknown, None, uf, gf, None, True)
+    out2, _ = fp.apply(v2, unknown, None, uf, gf, None, True,
+                       mutable=['batch_stats'])
+    assert out2.shape == (2, 32, 16)
+    assert np.isfinite(np.asarray(out2)).all()

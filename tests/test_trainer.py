@@ -98,3 +98,19 @@ def test_trainer_identity_eval(cfg, tmp_path):
     assert 0.0 <= results['test/part_acc'] <= 1.0
     assert results['test/rot_rmse'] > 0  # random rotations vs identity
     trainer.close()
+
+
+def test_val_sample_vis_export(cfg, tmp_path):
+    """val_sample_vis exports PLY assemblies every val epoch (reference
+    PCAssemblyLogCallback analogue)."""
+    cfg = cfg.clone()
+    cfg.exp.val_sample_vis = 2
+    cfg.exp.num_epochs = 1
+    cfg.data.colors = [[127, 0, 0]] * 21
+    ckp = str(tmp_path / 'run_vis')
+    trainer = Trainer(cfg, ckp_dir=ckp, quiet=True)
+    trainer.fit()
+    trainer.close()
+    plys = glob.glob(os.path.join(ckp, 'vis', '*.ply'))
+    assert any('gt' in p for p in plys)
+    assert any('pred' in p for p in plys)
