@@ -10,7 +10,7 @@ over the [B, P, P] equality matrix -- fully traced, no host sync.
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .base import extract_part_feats, rot_dim_of, zero_pose
+from .base import extract_part_feats, zero_pose
 from .modules.encoders import build_encoder
 from .modules.norm import MaskedBatchNorm
 from .modules.regressor import StochasticPoseRegressor

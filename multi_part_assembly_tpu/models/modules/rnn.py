@@ -8,8 +8,6 @@ emit zeros, and the backward direction runs over the reversed sequence
 where the masked carry skips the leading padding.
 """
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ it; no flash-attention needed at this scale.
 from typing import Optional
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 __all__ = ['TransformerEncoder']
 

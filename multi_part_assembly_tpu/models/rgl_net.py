@@ -5,7 +5,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .dgl import DGLModel, NodeMLP, merge_equiv_nodes
+from .dgl import DGLModel, NodeMLP
 from .modules.rnn import MaskedGRU
 
 __all__ = ['RGLNet']

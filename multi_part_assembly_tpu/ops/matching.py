@@ -12,8 +12,6 @@ P <= 20 makes the O(P^3) solve trivial; the inner Dijkstra scans are
 vectorized over columns.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -9,10 +9,7 @@ size-1) `model` axis so model-parallel shardings can be introduced without
 changing the step signatures.
 """
 
-import functools
-
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -14,8 +14,6 @@ Everything here is jit/grad/vmap-safe and runs inside the single compiled
 train step.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

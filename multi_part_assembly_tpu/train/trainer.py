@@ -14,14 +14,13 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
 from ..datasets import augment_geometry_batch, build_dataloader
 from ..models import build_model
-from ..parallel.mesh import (batch_sharding, make_eval_step, make_mesh,
-                             make_train_step, shard_batch)
+from ..parallel.mesh import (make_eval_step, make_mesh, make_train_step,
+                             shard_batch)
 from .state import create_train_state
 
 __all__ = ['Trainer', 'JSONLLogger']

@@ -10,7 +10,6 @@ directory.
 import os
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..utils.misc import colorize_part_pc, save_pc

@@ -9,9 +9,7 @@ away (loss.py:172-182).
 import jax
 import jax.numpy as jnp
 
-from ..ops.chamfer import (chamfer_diag, chamfer_distance, chamfer_pairs,
-                           chamfer_parts)
-from .rotation import Rotation3D
+from ..ops.chamfer import chamfer_diag, chamfer_distance, chamfer_parts
 from .transforms import rot_pc, transform_pc
 
 __all__ = [

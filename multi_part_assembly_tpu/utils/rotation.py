@@ -17,8 +17,6 @@ Euler angles are an output-only conversion (``to_euler``), matching
 reference rotation.py:201-204.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -114,3 +114,74 @@ def test_val_sample_vis_export(cfg, tmp_path):
     plys = glob.glob(os.path.join(ckp, 'vis', '*.ply'))
     assert any('gt' in p for p in plys)
     assert any('pred' in p for p in plys)
+
+
+@pytest.fixture
+def partnet_cfg(tmp_path):
+    """Synthetic PartNet tree + semantic config (matching + contacts)."""
+    root = tmp_path / 'partnet'
+    (root / 'shape_data').mkdir(parents=True)
+    (root / 'contact_points').mkdir()
+    rng = np.random.default_rng(0)
+    ids = []
+    for shape_id in range(200, 206):
+        n_parts = int(rng.integers(2, 5))
+        q = rng.normal(size=(n_parts, 4))
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        data = {
+            'part_pcs': rng.normal(size=(n_parts, 24, 3)).astype(np.float32)
+            * 0.3,
+            'part_poses': np.concatenate(
+                [rng.normal(size=(n_parts, 3)) * 0.2, q],
+                1).astype(np.float32),
+            'part_ids': np.arange(1, n_parts + 1),
+            'geo_part_ids': ([1, 1] + list(range(2, n_parts)))[:n_parts],
+            'sym': np.zeros((n_parts, 3), np.float32),
+        }
+        np.save(root / 'shape_data' / f'{shape_id}_level3.npy', data,
+                allow_pickle=True)
+        cp = np.zeros((n_parts, n_parts, 4), np.float32)
+        cp[0, 1, 0] = cp[1, 0, 0] = 1
+        np.save(root / 'contact_points' /
+                f'pairs_with_contact_points_{shape_id}_level3.npy', cp,
+                allow_pickle=True)
+        ids.append(shape_id)
+    for split in ['train', 'val']:
+        np.save(root / f'Chair.{split}.npy', np.asarray(ids))
+
+    cfg = CN()
+    cfg.exp = CN({'batch_size': 4, 'num_epochs': 1, 'val_every': 1,
+                  'num_workers': 2, 'ckp_dir': str(tmp_path / 'ckp'),
+                  'seed': 0, 'val_sample_vis': 0, 'weight_file': ''})
+    cfg.data = CN({
+        'dataset': 'partnet', 'data_dir': str(root),
+        'data_fn': 'Chair.{}.npy', 'category': 'Chair',
+        'data_keys': ('part_ids', 'match_ids', 'contact_points',
+                      'valid_matrix'),
+        'num_pc_points': 24, 'num_part_category': 20, 'min_num_part': 2,
+        'max_num_part': 5, 'shuffle_parts': True, 'overfit': -1,
+    })
+    cfg.optimizer = CN({'lr': 1e-3, 'weight_decay': 0., 'warmup_ratio': 0.,
+                        'clip_grad': None, 'lr_scheduler': 'cosine',
+                        'lr_decay_factor': 100.})
+    cfg.model = CN({'name': 'dgl', 'rot_type': 'quat', 'pc_feat_dim': 16,
+                    'encoder': 'pointnet', 'gnn_iter': 2,
+                    'merge_node': True})
+    cfg.loss = CN({'noise_dim': 4, 'sample_iter': 2, 'trans_loss_w': 1.,
+                   'rot_pt_cd_loss_w': 10., 'transform_pt_cd_loss_w': 10.,
+                   'use_rot_loss': False, 'use_rot_pt_l2_loss': False})
+    return cfg
+
+
+def test_trainer_partnet_semantic_e2e(partnet_cfg, tmp_path):
+    """Semantic pipeline end to end: PartNet data -> DGL + matching +
+    MoN(2) + connectivity accuracy."""
+    trainer = Trainer(partnet_cfg, ckp_dir=str(tmp_path / 'run_pn'),
+                      quiet=True)
+    trainer.fit()
+    results = trainer.test()
+    assert 'test/connectivity_acc' in results
+    assert 'test/part_acc' in results
+    assert 'test/rot_rmse' not in results  # geometric-only metrics absent
+    assert np.isfinite(results['test/loss'])
+    trainer.close()
