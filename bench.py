@@ -60,7 +60,11 @@ def main():
         [PART_COUNT_POOL[rng.randint(len(PART_COUNT_POOL))]
          for _ in range(B)])
     valids = (np.arange(P)[None] < nparts[:, None]).astype(np.float32)
-    raw = (rng.randn(B, P, N, 3) * 0.3).astype(np.float32) * \
+    # fracture-like parts: each piece is a small cloud at a distinct offset
+    # within the unit object (real Breaking-Bad pieces have distinct
+    # centroids, which the GT translations encode)
+    offsets = (rng.randn(B, P, 1, 3) * 0.3).astype(np.float32)
+    raw = ((rng.randn(B, P, N, 3) * 0.1).astype(np.float32) + offsets) * \
         valids[:, :, None, None]
 
     mesh = make_mesh(batch_size=B)

@@ -413,34 +413,43 @@ def _pack_y48(aug):
     return jnp.concatenate([b1, b2, b3, b1, b2, b1], axis=2)
 
 
-def _fused_parts_fwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref, *,
-                            npad, max_parts, diagonal=False):
+def _fused_parts_fwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref,
+                            w1_ref, w2_ref, *, npad, max_parts,
+                            diagonal=False):
     """Grid (B,).  x_ref/y_ref: [1, P, 48, Npad] split-packed bf16 parts.
-    d1_ref/d2_ref: [1, P, 8, Npad] with row 0 = min squared distance."""
+    d1_ref/d2_ref: [1, P, 8, Npad] f32, row 0 = min squared distance.
+    w1_ref/w2_ref: [1, P, 8, Npad] i32, row 0 = index of the part that
+    holds each point's witness (lets the backward visit only witness-linked
+    part pairs)."""
     b = pl.program_id(0)
     n_p = nparts_ref[b]
     BIG = jnp.float32(1e30)
 
     d1_ref[0, :, 0, :] = jnp.full((max_parts, npad), BIG, jnp.float32)
     d2_ref[0, :, 0, :] = jnp.full((max_parts, npad), BIG, jnp.float32)
+    w1_ref[0, :, 0, :] = jnp.full((max_parts, npad), -1, jnp.int32)
+    w2_ref[0, :, 0, :] = jnp.full((max_parts, npad), -1, jnp.int32)
 
     def pair_body(k, _):
         # diagonal mode: each part pairs only with its own counterpart
         # (per-part chamfer, reference loss.py:113-138 / eval_utils.py:12-46)
         i = k if diagonal else k // n_p
         j = k if diagonal else k % n_p
-        x24 = x_ref[0, i]  # [32, Npad] bf16 hi/lo packed
-        y24 = y_ref[0, j]
-        # one bf16 MXU pass = full |x - y|^2 in near-f32 accuracy (see
-        # _split24); backward recomputes the identical op so witness
-        # equality is bit-exact
+        x48 = x_ref[0, i]  # [48, Npad] bf16 split-packed
+        y48 = y_ref[0, j]
+        # one bf16 MXU pass = full |x - y|^2 in f32 accuracy (see _pack_x48);
+        # backward recomputes the identical op so witness equality is exact
         d = jax.lax.dot_general(
-            x24, y24, (((0, ), (0, )), ((), ())),
+            x48, y48, (((0, ), (0, )), ((), ())),
             preferred_element_type=jnp.float32)
-        d1_ref[0, i, 0, :] = jnp.minimum(d1_ref[0, i, 0, :],
-                                         jnp.min(d, axis=1))
-        d2_ref[0, j, 0, :] = jnp.minimum(d2_ref[0, j, 0, :],
-                                         jnp.min(d, axis=0))
+        rmin = jnp.min(d, axis=1)
+        take1 = rmin < d1_ref[0, i, 0, :]
+        d1_ref[0, i, 0, :] = jnp.where(take1, rmin, d1_ref[0, i, 0, :])
+        w1_ref[0, i, 0, :] = jnp.where(take1, j, w1_ref[0, i, 0, :])
+        cmin = jnp.min(d, axis=0)
+        take2 = cmin < d2_ref[0, j, 0, :]
+        d2_ref[0, j, 0, :] = jnp.where(take2, cmin, d2_ref[0, j, 0, :])
+        w2_ref[0, j, 0, :] = jnp.where(take2, i, w2_ref[0, j, 0, :])
         return 0
 
     jax.lax.fori_loop(0, n_p if diagonal else n_p * n_p, pair_body, 0)
@@ -454,14 +463,22 @@ def _fused_parts_fwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref, *,
         part_valid, jnp.maximum(d2_ref[0, :, 0, :], 0.0), 0.0)
 
 
-def _fused_parts_bwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref, g1_ref,
-                            g2_ref, dx_ref, dy_ref, *, npad, max_parts,
-                            diagonal=False):
-    """Backward of the fused chamfer.  Same grid/loop as forward; witnesses
-    are tiles equal to the saved min, gradients accumulate as:
-        dx_i += 2 (g1_i x_i - sum_j w1_ij y_j) + (direction-2 terms)
-    where w1_ij = g1_i * mask1_ij / count1_i.
-    dx_ref/dy_ref rows 0..2 hold the coordinate gradients."""
+def _fused_parts_bwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref,
+                            w1_ref, w2_ref, g1_ref, g2_ref, dx_ref, dy_ref,
+                            *, npad, max_parts, diagonal=False):
+    """Backward of the fused chamfer.
+
+    Only witness-linked part pairs do work: the forward recorded each
+    point's winning part (w1/w2), so a pair (i, j) is skipped entirely
+    unless some point of part i has its witness in part j or vice versa --
+    typically O(p) relevant pairs instead of p^2.  Within a relevant pair,
+    witnesses are tile entries equal to the saved min AND belonging to the
+    winning part; gradients accumulate as
+        dx_i += 2 (g1_i x_i - sum_j W_ij y_j),
+        dy_j -= 2 (sum_i W_ij x_i - colsum(W) y_j)
+    with W combining both directions (within-part distance ties split the
+    gradient evenly; cross-part ties resolve to the first part, like the
+    CUDA kernel's first-hit scan).  dx/dy rows 0..2 hold coordinate grads."""
     b = pl.program_id(0)
     n_p = nparts_ref[b]
 
@@ -469,66 +486,72 @@ def _fused_parts_bwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref, g1_ref,
     dy_ref[0] = jnp.zeros((max_parts, 8, npad), jnp.float32)
 
     def pair_body(k, _):
-        # diagonal mode: each part pairs only with its own counterpart
-        # (per-part chamfer, reference loss.py:113-138 / eval_utils.py:12-46)
         i = k if diagonal else k // n_p
         j = k if diagonal else k % n_p
-        x24 = x_ref[0, i]
-        y24 = y_ref[0, j]
-        # identical recompute to the forward (same op, same inputs)
-        d = jnp.maximum(
-            jax.lax.dot_general(
-                x24, y24, (((0, ), (0, )), ((), ())),
-                preferred_element_type=jnp.float32), 0.0)
+        win1 = w1_ref[0, i, 0, :]  # [Nx] winning y-part per x point
+        win2 = w2_ref[0, j, 0, :]  # [Ny] winning x-part per y point
+        relevant = jnp.any(win1 == j) | jnp.any(win2 == i)
 
-        # reconstruct f32 coords from the split rows: x terms live at rows
-        # 0-7 (a1), 24-31 (a2), 40-47 (a3); y terms (scaled by -2) at rows
-        # 0-7 (b1), 8-15 (b2), 16-23 (b3)
-        xc = (x24[0:3, :].astype(jnp.float32) +
-              x24[24:27, :].astype(jnp.float32) +
-              x24[40:43, :].astype(jnp.float32))
-        yc = (y24[0:3, :].astype(jnp.float32) +
-              y24[8:11, :].astype(jnp.float32) +
-              y24[16:19, :].astype(jnp.float32)) * (-0.5)
+        @pl.when(relevant)
+        def _():
+            x48 = x_ref[0, i]
+            y48 = y_ref[0, j]
+            # identical recompute to the forward (same op, same inputs)
+            d = jnp.maximum(
+                jax.lax.dot_general(
+                    x48, y48, (((0, ), (0, )), ((), ())),
+                    preferred_element_type=jnp.float32), 0.0)
 
-        # witness masks vs the saved minima; gradients of ties split evenly
-        d1 = d1_ref[0, i, 0, :]
-        mask1 = (d == d1[:, None]).astype(jnp.float32)
-        cnt1 = jnp.maximum(jnp.sum(mask1, axis=1), 1.0)
-        w1 = (g1_ref[0, i, 0, :] / cnt1)[:, None] * mask1  # [Nx, Ny]
-        d2 = d2_ref[0, j, 0, :]
-        mask2 = (d == d2[None, :]).astype(jnp.float32)
-        cnt2 = jnp.maximum(jnp.sum(mask2, axis=0), 1.0)
-        w2 = (g2_ref[0, j, 0, :] / cnt2)[None, :] * mask2
+            # reconstruct f32 coords from the split rows: x terms at rows
+            # 0-7 (a1), 24-31 (a2), 40-47 (a3); y terms (scaled by -2) at
+            # rows 0-7 (b1), 8-15 (b2), 16-23 (b3)
+            xc = (x48[0:3, :].astype(jnp.float32) +
+                  x48[24:27, :].astype(jnp.float32) +
+                  x48[40:43, :].astype(jnp.float32))
+            yc = (y48[0:3, :].astype(jnp.float32) +
+                  y48[8:11, :].astype(jnp.float32) +
+                  y48[16:19, :].astype(jnp.float32)) * (-0.5)
 
-        # both directions share the gradient form
-        #   dx_i += 2 (rowsum(W) x_i - sum_j W_ij y_j)
-        #   dy_j -= 2 (sum_i W_ij x_i - colsum(W) y_j)
-        # so one combined W needs just two skinny MXU matmuls
-        W = w1 + w2
-        row_w = jnp.sum(W, axis=1)  # [Nx]
-        col_w = jnp.sum(W, axis=0)  # [Ny]
-        # gradient accumulation tolerates bf16 operand rounding (~0.1%
-        # relative -- the reference trains under fp16 AMP anyway), so these
-        # ride the MXU in one pass instead of HIGHEST's six
-        y_acc = jax.lax.dot_general(
-            yc, W, (((1, ), (1, )), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=BWD_ACC_PRECISION)  # [3, Nx]
-        x_acc = jax.lax.dot_general(
-            xc, W, (((1, ), (0, )), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=BWD_ACC_PRECISION)  # [3, Ny]
-        dx_ref[0, i, 0:3, :] += 2.0 * (row_w[None, :] * xc - y_acc)
-        dy_ref[0, j, 0:3, :] += -2.0 * (x_acc - col_w[None, :] * yc)
+            # (bool arrays can't broadcast a new minor dim in Mosaic, so
+            # the part-winner masks are built in f32)
+            d1 = d1_ref[0, i, 0, :]
+            winmask1 = jnp.where(win1 == j, 1.0, 0.0)  # [Nx] f32
+            mask1 = (d == d1[:, None]).astype(jnp.float32) * \
+                winmask1[:, None]
+            cnt1 = jnp.maximum(jnp.sum(mask1, axis=1), 1.0)
+            w1 = (g1_ref[0, i, 0, :] / cnt1)[:, None] * mask1  # [Nx, Ny]
+            d2 = d2_ref[0, j, 0, :]
+            winmask2 = jnp.where(win2 == i, 1.0, 0.0)  # [Ny] f32
+            mask2 = (d == d2[None, :]).astype(jnp.float32) * \
+                winmask2[None, :]
+            cnt2 = jnp.maximum(jnp.sum(mask2, axis=0), 1.0)
+            w2 = (g2_ref[0, j, 0, :] / cnt2)[None, :] * mask2
+
+            W = w1 + w2
+            row_w = jnp.sum(W, axis=1)  # [Nx]
+            col_w = jnp.sum(W, axis=0)  # [Ny]
+            # gradient accumulation tolerates bf16 operand rounding (~0.1%
+            # relative -- the reference trains under fp16 AMP anyway), so
+            # these ride the MXU in one pass instead of HIGHEST's six
+            y_acc = jax.lax.dot_general(
+                yc, W, (((1, ), (1, )), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=BWD_ACC_PRECISION)  # [3, Nx]
+            x_acc = jax.lax.dot_general(
+                xc, W, (((1, ), (0, )), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=BWD_ACC_PRECISION)  # [3, Ny]
+            dx_ref[0, i, 0:3, :] += 2.0 * (row_w[None, :] * xc - y_acc)
+            dy_ref[0, j, 0:3, :] += -2.0 * (x_acc - col_w[None, :] * yc)
+
         return 0
 
     jax.lax.fori_loop(0, n_p if diagonal else n_p * n_p, pair_body, 0)
 
 
-def _fused_parts_fwd_pallas(x24, y24, n_parts, diagonal=False):
-    B, P, _, npad = x24.shape
-    d1, d2 = pl.pallas_call(
+def _fused_parts_fwd_pallas(x48, y48, n_parts, diagonal=False):
+    B, P, _, npad = x48.shape
+    d1, d2, w1, w2 = pl.pallas_call(
         functools.partial(_fused_parts_fwd_kernel, npad=npad, max_parts=P,
                           diagonal=diagonal),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -540,22 +563,23 @@ def _fused_parts_fwd_pallas(x24, y24, n_parts, diagonal=False):
             ],
             out_specs=[
                 pl.BlockSpec((1, P, 8, npad), lambda b, nref: (b, 0, 0, 0)),
-                pl.BlockSpec((1, P, 8, npad), lambda b, nref: (b, 0, 0, 0)),
-            ],
+            ] * 4,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((B, P, 8, npad), jnp.float32),
             jax.ShapeDtypeStruct((B, P, 8, npad), jnp.float32),
+            jax.ShapeDtypeStruct((B, P, 8, npad), jnp.int32),
+            jax.ShapeDtypeStruct((B, P, 8, npad), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(n_parts.astype(jnp.int32), x24, y24)
-    return d1, d2
+    )(n_parts.astype(jnp.int32), x48, y48)
+    return d1, d2, w1, w2
 
 
-def _fused_parts_bwd_pallas(x24, y24, d1, d2, g1, g2, n_parts,
+def _fused_parts_bwd_pallas(x48, y48, d1, d2, w1, w2, g1, g2, n_parts,
                             diagonal=False):
-    B, P, _, npad = x24.shape
+    B, P, _, npad = x48.shape
     dx, dy = pl.pallas_call(
         functools.partial(_fused_parts_bwd_kernel, npad=npad, max_parts=P,
                           diagonal=diagonal),
@@ -567,7 +591,7 @@ def _fused_parts_bwd_pallas(x24, y24, d1, d2, g1, g2, n_parts,
                 pl.BlockSpec((1, P, 48, npad), lambda b, nref: (b, 0, 0, 0)),
             ] + [
                 pl.BlockSpec((1, P, 8, npad), lambda b, nref: (b, 0, 0, 0))
-            ] * 4,
+            ] * 6,
             out_specs=[
                 pl.BlockSpec((1, P, 8, npad), lambda b, nref: (b, 0, 0, 0)),
                 pl.BlockSpec((1, P, 8, npad), lambda b, nref: (b, 0, 0, 0)),
@@ -579,7 +603,7 @@ def _fused_parts_bwd_pallas(x24, y24, d1, d2, g1, g2, n_parts,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(n_parts.astype(jnp.int32), x24, y24, d1, d2, g1, g2)
+    )(n_parts.astype(jnp.int32), x48, y48, d1, d2, w1, w2, g1, g2)
     return dx, dy
 
 
@@ -646,10 +670,10 @@ def _make_parts_core(diagonal):
             npad = _round_up(N, 128)
             x48 = _pack_x48(_aug_x(xyz1.astype(jnp.float32), npad))
             y48 = _pack_y48(_aug_y(xyz2.astype(jnp.float32), npad))
-            d1e, d2e = _fused_parts_fwd_pallas(x48, y48, n_parts,
-                                               diagonal=diagonal)
+            d1e, d2e, w1e, w2e = _fused_parts_fwd_pallas(
+                x48, y48, n_parts, diagonal=diagonal)
             return (d1e[:, :, 0, :N], d2e[:, :, 0, :N]), \
-                (x48, y48, d1e, d2e, n_parts)
+                (x48, y48, d1e, d2e, w1e, w2e, n_parts)
         if diagonal:
             # reference path: each part as an independent 1-part shape
             B, P = xyz1.shape[:2]
@@ -670,13 +694,14 @@ def _make_parts_core(diagonal):
         # the dispatch decision is trace-time static, so fwd/bwd agree on
         # the residual structure
         if _use_fused():
-            x48, y48, d1e, d2e, n_parts = res
+            x48, y48, d1e, d2e, w1e, w2e, n_parts = res
             npad = x48.shape[-1]
             N = g1.shape[-1]
             g1e = _row0_embed(g1, npad)
             g2e = _row0_embed(g2, npad)
             dxe, dye = _fused_parts_bwd_pallas(
-                x48, y48, d1e, d2e, g1e, g2e, n_parts, diagonal=diagonal)
+                x48, y48, d1e, d2e, w1e, w2e, g1e, g2e, n_parts,
+                diagonal=diagonal)
             dx = jnp.swapaxes(dxe[:, :, 0:3, :N], 2, 3)  # [B, P, N, 3]
             dy = jnp.swapaxes(dye[:, :, 0:3, :N], 2, 3)
             return dx, dy, None
