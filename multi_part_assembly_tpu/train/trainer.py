@@ -176,7 +176,11 @@ class Trainer:
         return logs
 
     def _eval_loop(self, loader, prefix):
-        """Batch-size weighted averaging (reference base_model.py:65-88)."""
+        """Batch-size weighted averaging (reference base_model.py:65-88).
+
+        Multi-host: each host evaluates its own data shard; the weighted
+        sums are all-reduced across hosts (the reference's
+        `sync_dist=True`)."""
         sums, weights = {}, 0.0
         for batch in loader:
             rng = self._next_rng()
@@ -186,6 +190,15 @@ class Trainer:
                 sums[k] = sums.get(k, 0.0) + float(
                     np.asarray(v)[:bs].sum())
             weights += bs
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            keys = sorted(sums)
+            local = np.asarray([sums[k] for k in keys] + [weights],
+                               np.float64)
+            gathered = multihost_utils.process_allgather(local)
+            total = np.asarray(gathered).sum(axis=0)
+            sums = dict(zip(keys, total[:-1]))
+            weights = total[-1]
         return {f'{prefix}/{k}': v / max(weights, 1.0)
                 for k, v in sums.items()}
 
