@@ -5,23 +5,33 @@ TPU-native replacement for the reference's CUDA extension
 forward shared-memory tiled min-scan; :176-210 atomicAdd backward;
 multi_part_assembly/utils/chamfer/chamfer.py:36-64 public API).
 
-Design notes (TPU):
-  - Points are kept in a transposed ``[B, 3, N]`` layout inside the kernel so
-    the large N axis is on the 128-lane dimension (a ``[N, 3]`` block would
-    waste 125/128 lanes of VMEM).
-  - The pairwise term uses the identity ``|x-y|^2 = |x|^2 + |y|^2 - 2 x.y``;
-    the ``x.y`` cross term is a small-K matmul driven to the MXU, and the
-    min/argmin reduction is a VPU running reduction over y-tiles, so the
-    O(N1*N2) distance matrix is never materialized in HBM (the CUDA kernel
-    tiled through shared memory for the same reason).
-  - The backward uses the saved argmin indices: the gradient of a min is the
-    gradient through its witness pair, giving a gather for the query side and
-    a scatter-add for the target side (the CUDA kernel used atomicAdd; XLA
-    scatter-add plays that role here).
-  - Forward math stays in float32: bf16 coordinate products lose ~1e-3
-    relative accuracy which is the same order as the 0.01 part-accuracy
-    threshold (the CUDA ext pinned float32 via AMP ``custom_fwd`` too,
-    chamfer.py:14).
+Design notes (TPU), in order of impact:
+  - **Part-structured kernels** (`chamfer_parts` / `chamfer_diag`): valid
+    parts are a prefix of the padded part axis, so a scalar-prefetched part
+    count lets the kernel loop only over valid part pairs -- the reference
+    instead pushed padded parts 1e3 away and brute-forced the full
+    (P*N)^2 distance field (loss.py:172-182).
+  - **Transposed layout**: points ride the 128-lane axis ([..., 8, Npad]
+    blocks); a [N, 3] block would waste 125/128 lanes of VMEM.
+  - **One distance pass, both directions**: each tile's row-min updates
+    dist1 and its col-min updates dist2 (the CUDA kernel ran the O(N^2)
+    scan twice, chamfer_kernel.cu:135-173).
+  - **Split-packed distance matmul**: |x - y|^2 is augmented into a K=8
+    inner product, whose operands are 3-term bf16 mantissa splits packed
+    along K (K=48) -- f32-exact in ONE bf16 MXU pass, ~6x cheaper than a
+    HIGHEST f32 matmul, because a K <= 128 contraction costs one pass
+    regardless of K (see `_pack_x48`).
+  - **Witness-matmul backward, no scatter**: the backward recomputes the
+    bit-identical distance tiles, identifies witnesses by equality against
+    the saved minima, and accumulates both directions' gradients through
+    two skinny MXU matmuls (the CUDA backward scattered with atomicAdd,
+    chamfer_kernel.cu:203-208; XLA scatter was 3x slower).  The forward
+    also records each point's winning part so the backward skips part
+    pairs that hold no witnesses (O(p) relevant pairs on real data).
+  - The min values stay f32-accurate (the 0.01 part-accuracy threshold
+    needs it; the CUDA ext pinned f32 via AMP `custom_fwd`, chamfer.py:14);
+    only the backward's gradient accumulation runs in bf16
+    (`BWD_ACC_PRECISION`).
 """
 
 import functools
