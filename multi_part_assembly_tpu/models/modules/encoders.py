@@ -54,11 +54,15 @@ class PointNet(nn.Module):
 
 class DGCNN(nn.Module):
     """DGCNN: 4 EdgeConv stages + fuse conv, max||avg global pool + FC
-    (reference encoder/dgcnn.py:41-109, k=20)."""
+    (reference encoder/dgcnn.py:41-109, k=20).
+
+    The kNN graph is built in f32 (distance ordering needs it); the
+    EdgeConv MLP path runs in bf16 with f32 BN stats."""
 
     feat_dim: int
     global_feat: bool = True
     k: int = 20
+    compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, mask=None, train=True):
@@ -69,17 +73,19 @@ class DGCNN(nn.Module):
         feats = []
         h = x
         for i, d in enumerate((64, 64, 128, 256)):
-            e = get_graph_feature(h, k=self.k)  # [B, N, k, 2C]
-            e = nn.Dense(d, use_bias=False, name=f'conv{i + 1}')(e)
+            e = get_graph_feature(h.astype(jnp.float32), k=self.k)
+            e = nn.Dense(d, use_bias=False, dtype=self.compute_dtype,
+                         name=f'conv{i + 1}')(e.astype(self.compute_dtype))
             e = MaskedBatchNorm(name=f'bn{i + 1}')(e, edge_mask, train)
             e = nn.leaky_relu(e, 0.2)
             h = jnp.max(e, axis=2)  # [B, N, d]
             feats.append(h)
 
         h = jnp.concatenate(feats, axis=-1)  # [B, N, 512]
-        h = nn.Dense(self.feat_dim, use_bias=False, name='conv5')(h)
+        h = nn.Dense(self.feat_dim, use_bias=False,
+                     dtype=self.compute_dtype, name='conv5')(h)
         h = MaskedBatchNorm(name='bn5')(h, point_mask, train)
-        h = nn.leaky_relu(h, 0.2)
+        h = nn.leaky_relu(h, 0.2).astype(jnp.float32)
 
         if self.global_feat:
             g = jnp.concatenate(
@@ -90,17 +96,20 @@ class DGCNN(nn.Module):
 
 class _SharedMLP(nn.Module):
     """Conv2d(k=1)+BN+ReLU stack over grouped features
-    (reference pointnet2_modules.py:9-19)."""
+    (reference pointnet2_modules.py:9-19).  bf16 compute, f32 BN stats."""
 
     dims: Sequence[int]
+    compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, mask=None, train=True):
+        x = x.astype(self.compute_dtype)
         for i, d in enumerate(self.dims):
-            x = nn.Dense(d, use_bias=False, name=f'mlp{i}')(x)
+            x = nn.Dense(d, use_bias=False, dtype=self.compute_dtype,
+                         name=f'mlp{i}')(x)
             x = MaskedBatchNorm(name=f'bn{i}')(x, mask, train)
             x = nn.relu(x)
-        return x
+        return x.astype(jnp.float32)
 
 
 class _SetAbstraction(nn.Module):
