@@ -15,6 +15,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..train.core import mon_loss
 
+
+def _maybe_augment(batch, key, cfg):
+    """Geometry batches may arrive raw ('part_pcs_raw'); augmentation then
+    runs inside the compiled step (no extra dispatch / HBM round trip)."""
+    if 'part_pcs_raw' not in batch:
+        return batch
+    from ..datasets.geometry import augment_geometry_batch
+    aug = augment_geometry_batch(
+        batch['part_pcs_raw'], batch['part_valids'], key,
+        rot_range=float(cfg.data.get('rot_range', -1.0)))
+    batch = {k: v for k, v in batch.items() if k != 'part_pcs_raw'}
+    batch.update(aug)
+    return batch
+
 __all__ = ['make_mesh', 'batch_sharding', 'replicated', 'shard_batch',
            'make_train_step', 'make_eval_step', 'init_distributed']
 
@@ -71,6 +85,8 @@ def make_train_step(model, tx, cfg, mesh=None, donate=True):
 
     def step(state, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
+        aug_key, rng = jax.random.split(rng)
+        batch = _maybe_augment(batch, aug_key, cfg)
 
         def loss_fn(params):
             loss, log_dict, new_stats = mon_loss(
@@ -100,6 +116,8 @@ def make_eval_step(model, cfg, mesh=None):
     """Jitted eval step returning the per-batch mean loss/metric dict."""
 
     def step(state, batch, rng):
+        aug_key, rng = jax.random.split(rng)
+        batch = _maybe_augment(batch, aug_key, cfg)
         # reduce=False: per-element vectors so host-side padding rows of
         # remainder batches can be sliced before weighted averaging
         _, log_dict, _ = mon_loss(

@@ -53,10 +53,13 @@ class JSONLLogger:
         self._f.close()
 
 
-def _prep_batch(batch, cfg, mesh, rng):
-    """Host batch -> device batch: pad to the mesh's data-axis multiple,
-    shard, then device-side augmentation for geometry data (the reference
-    augments per-sample on CPU workers).
+def _prep_batch(batch, cfg, mesh, rng, augment=True):
+    """Host batch -> device batch: pad to the mesh's data-axis multiple and
+    shard.  Geometry batches carry raw points ('part_pcs_raw'); with
+    augment=True the device-side augmentation (recenter + random rotation,
+    the reference's per-sample CPU transform) runs here eagerly, otherwise
+    it is fused into the compiled train/eval step (parallel/mesh.py
+    `_maybe_augment`).
 
     Returns (device_batch, real_batch_size); rows past real_batch_size are
     edge-replicated padding (remainder val batches) to be sliced off after
@@ -74,7 +77,7 @@ def _prep_batch(batch, cfg, mesh, rng):
             for k, v in batch.items()
         }
     batch = shard_batch(batch, mesh)
-    if 'part_pcs_raw' in batch:
+    if augment and 'part_pcs_raw' in batch:
         aug = augment_geometry_batch(
             batch['part_pcs_raw'], batch['part_valids'], rng,
             rot_range=float(cfg.data.get('rot_range', -1.0)))
@@ -163,7 +166,8 @@ class Trainer:
         for i, batch in enumerate(self.train_loader):
             t_data = time.perf_counter() - t_last
             rng = self._next_rng()
-            device_batch, _ = _prep_batch(batch, self.cfg, self.mesh, rng)
+            device_batch, _ = _prep_batch(batch, self.cfg, self.mesh, rng,
+                                          augment=False)
             self.state, logs = self.train_step(self.state, device_batch, rng)
             logs = dict(logs)
             logs['data_time'] = t_data
@@ -184,7 +188,8 @@ class Trainer:
         sums, weights = {}, 0.0
         for batch in loader:
             rng = self._next_rng()
-            device_batch, bs = _prep_batch(batch, self.cfg, self.mesh, rng)
+            device_batch, bs = _prep_batch(batch, self.cfg, self.mesh, rng,
+                                           augment=False)
             logs = self.eval_step(self.state, device_batch, rng)
             for k, v in logs.items():
                 sums[k] = sums.get(k, 0.0) + float(
