@@ -320,3 +320,20 @@ def test_match_parts_under_jit_vmap(rng):
 
     nt, nr = f(jax.random.PRNGKey(1))
     np.testing.assert_allclose(np.asarray(nt), np.asarray(trans))
+
+
+def test_chamfer_pairs_matches_ref(rng):
+    from multi_part_assembly_tpu.ops import chamfer_pairs
+    M, N = 6, 40
+    p1 = jnp.asarray(rng.randn(M, N, 3), jnp.float32)
+    p2 = jnp.asarray(rng.randn(M, N, 3), jnp.float32)
+    pval = jnp.asarray([1, 1, 0, 1, 0, 1], jnp.float32)
+    d1, d2 = chamfer_pairs(p1, p2, pval)
+    rd1, _, rd2, _ = chamfer_distance_ref(p1, p2)
+    m = np.asarray(pval)[:, None]
+    np.testing.assert_allclose(np.asarray(d1) * m, np.asarray(rd1) * m,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d2) * m, np.asarray(rd2) * m,
+                               atol=1e-4)
+    # invalid pairs are zeroed
+    np.testing.assert_allclose(np.asarray(d1)[2], 0.0)

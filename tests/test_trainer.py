@@ -185,3 +185,31 @@ def test_trainer_partnet_semantic_e2e(partnet_cfg, tmp_path):
     assert 'test/rot_rmse' not in results  # geometric-only metrics absent
     assert np.isfinite(results['test/loss'])
     trainer.close()
+
+
+def test_find_last_ckp(tmp_path):
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        'scripts'))
+    from collect_test import find_last_ckp
+    run = tmp_path / 'run'
+    (run / 'models' / '3').mkdir(parents=True)
+    (run / 'models' / '7').mkdir()
+    (run / 'models' / 'junk').mkdir()
+    import time as _t
+    _t.sleep(0.01)
+    os.utime(str(run / 'models' / '7'))
+    assert find_last_ckp(str(run)).endswith('/7')
+    assert find_last_ckp(str(tmp_path / 'nothing')) is None
+
+
+def test_jsonl_logger(tmp_path):
+    from multi_part_assembly_tpu.train.trainer import JSONLLogger
+    import json
+    lg = JSONLLogger(str(tmp_path), quiet=True)
+    lg.log({'a': 1.5, 'b': np.float32(2.5)}, step=3)
+    lg.close()
+    rec = json.loads(open(os.path.join(str(tmp_path),
+                                       'metrics.jsonl')).read())
+    assert rec == {'a': 1.5, 'b': 2.5, 'step': 3}
