@@ -35,6 +35,7 @@ Design notes (TPU), in order of impact:
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,7 +48,8 @@ except ImportError:  # pragma: no cover
     pltpu = None
     _HAS_PLTPU = False
 
-__all__ = ['chamfer_distance', 'nn_distance', 'chamfer_distance_ref']
+__all__ = ['chamfer_distance', 'nn_distance', 'chamfer_distance_ref',
+           'set_fused_mode']
 
 _PAD_VAL = 1e6  # padding coordinate: far from everything, no f32 overflow
 
@@ -559,8 +561,12 @@ def _fused_parts_bwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref,
     jax.lax.fori_loop(0, n_p if diagonal else n_p * n_p, pair_body, 0)
 
 
-def _fused_parts_fwd_pallas(x48, y48, n_parts, diagonal=False):
+def _fused_parts_fwd_pallas(x48, y48, n_parts, diagonal=False,
+                            interpret=False):
     B, P, _, npad = x48.shape
+    kwargs = {} if interpret else {
+        'compiler_params': pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)}
     d1, d2, w1, w2 = pl.pallas_call(
         functools.partial(_fused_parts_fwd_kernel, npad=npad, max_parts=P,
                           diagonal=diagonal),
@@ -581,15 +587,18 @@ def _fused_parts_fwd_pallas(x48, y48, n_parts, diagonal=False):
             jax.ShapeDtypeStruct((B, P, 8, npad), jnp.int32),
             jax.ShapeDtypeStruct((B, P, 8, npad), jnp.int32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+        **kwargs,
     )(n_parts.astype(jnp.int32), x48, y48)
     return d1, d2, w1, w2
 
 
 def _fused_parts_bwd_pallas(x48, y48, d1, d2, w1, w2, g1, g2, n_parts,
-                            diagonal=False):
+                            diagonal=False, interpret=False):
     B, P, _, npad = x48.shape
+    kwargs = {} if interpret else {
+        'compiler_params': pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)}
     dx, dy = pl.pallas_call(
         functools.partial(_fused_parts_bwd_kernel, npad=npad, max_parts=P,
                           diagonal=diagonal),
@@ -611,8 +620,8 @@ def _fused_parts_bwd_pallas(x48, y48, d1, d2, w1, w2, g1, g2, n_parts,
             jax.ShapeDtypeStruct((B, P, 8, npad), jnp.float32),
             jax.ShapeDtypeStruct((B, P, 8, npad), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+        **kwargs,
     )(n_parts.astype(jnp.int32), x48, y48, d1, d2, w1, w2, g1, g2)
     return dx, dy
 
@@ -658,8 +667,36 @@ def chamfer_parts(part_pcs1, part_pcs2, valids):
     return d1.reshape(B, P * N), d2.reshape(B, P * N)
 
 
+# Fused-kernel dispatch override.  'auto' uses the fused pallas kernels on
+# TPU and the jnp fallbacks elsewhere; 'force' runs the fused kernels
+# everywhere (interpret mode off-TPU -- this is how CI exercises the
+# production kernels on CPU, see tests/test_ops.py); 'off' always falls
+# back to jnp.
+_FUSED_MODE = os.environ.get('MPA_CHAMFER_FUSED', 'auto')
+
+
+def set_fused_mode(mode):
+    """Set fused-kernel dispatch: 'auto' | 'force' | 'off' (test hook)."""
+    global _FUSED_MODE
+    assert mode in ('auto', 'force', 'off'), mode
+    _FUSED_MODE = mode
+
+
+def _on_tpu():
+    return any(d.platform == 'tpu' for d in jax.devices())
+
+
 def _use_fused():
-    return _HAS_PLTPU and any(d.platform == 'tpu' for d in jax.devices())
+    if _FUSED_MODE == 'force':
+        return _HAS_PLTPU
+    if _FUSED_MODE == 'off':
+        return False
+    return _HAS_PLTPU and _on_tpu()
+
+
+def _fused_interpret():
+    """Interpret the fused kernels when no TPU backend is present."""
+    return not _on_tpu()
 
 
 def _make_parts_core(diagonal):
@@ -681,7 +718,8 @@ def _make_parts_core(diagonal):
             x48 = _pack_x48(_aug_x(xyz1.astype(jnp.float32), npad))
             y48 = _pack_y48(_aug_y(xyz2.astype(jnp.float32), npad))
             d1e, d2e, w1e, w2e = _fused_parts_fwd_pallas(
-                x48, y48, n_parts, diagonal=diagonal)
+                x48, y48, n_parts, diagonal=diagonal,
+                interpret=_fused_interpret())
             return (d1e[:, :, 0, :N], d2e[:, :, 0, :N]), \
                 (x48, y48, d1e, d2e, w1e, w2e, n_parts)
         if diagonal:
@@ -711,7 +749,7 @@ def _make_parts_core(diagonal):
             g2e = _row0_embed(g2, npad)
             dxe, dye = _fused_parts_bwd_pallas(
                 x48, y48, d1e, d2e, w1e, w2e, g1e, g2e, n_parts,
-                diagonal=diagonal)
+                diagonal=diagonal, interpret=_fused_interpret())
             dx = jnp.swapaxes(dxe[:, :, 0:3, :N], 2, 3)  # [B, P, N, 3]
             dy = jnp.swapaxes(dye[:, :, 0:3, :N], 2, 3)
             return dx, dy, None
