@@ -8,10 +8,12 @@ MaskedBatchNorm so padded parts never pollute batch statistics (the
 reference compacts valid parts instead, which is dynamic-shape).
 """
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+
+from ...utils.precision import compute_dtype as _global_compute_dtype
 
 from ...ops.knn import get_graph_feature
 from ...ops.sampling import (ball_query, furthest_point_sample, gather_points,
@@ -32,16 +34,17 @@ class PointNet(nn.Module):
 
     feat_dim: int
     global_feat: bool = True
-    compute_dtype: jnp.dtype = jnp.bfloat16
+    compute_dtype: Optional[jnp.dtype] = None  # None -> global precision switch
 
     @nn.compact
     def __call__(self, x, mask=None, train=True):
         """x: [..., N, 3]; mask: [...] per-cloud validity for BN stats."""
         point_mask = None if mask is None else mask[..., None]
         dims = (64, 64, 64, 128, self.feat_dim)
-        x = x.astype(self.compute_dtype)
+        cdt = self.compute_dtype or _global_compute_dtype()
+        x = x.astype(cdt)
         for i, d in enumerate(dims):
-            x = nn.Dense(d, use_bias=False, dtype=self.compute_dtype,
+            x = nn.Dense(d, use_bias=False, dtype=cdt,
                          name=f'conv{i + 1}')(x)
             x = MaskedBatchNorm(name=f'bn{i + 1}')(x, point_mask, train)
             if i < len(dims) - 1:  # last layer: BN only (pointnet.py:37)
@@ -62,20 +65,21 @@ class DGCNN(nn.Module):
     feat_dim: int
     global_feat: bool = True
     k: int = 20
-    compute_dtype: jnp.dtype = jnp.bfloat16
+    compute_dtype: Optional[jnp.dtype] = None  # None -> global precision switch
 
     @nn.compact
     def __call__(self, x, mask=None, train=True):
         """x: [B, N, 3] (flattened part batch); mask: [B] validity."""
         edge_mask = None if mask is None else mask[..., None, None]
         point_mask = None if mask is None else mask[..., None]
+        cdt = self.compute_dtype or _global_compute_dtype()
 
         feats = []
         h = x
         for i, d in enumerate((64, 64, 128, 256)):
             e = get_graph_feature(h.astype(jnp.float32), k=self.k)
-            e = nn.Dense(d, use_bias=False, dtype=self.compute_dtype,
-                         name=f'conv{i + 1}')(e.astype(self.compute_dtype))
+            e = nn.Dense(d, use_bias=False, dtype=cdt,
+                         name=f'conv{i + 1}')(e.astype(cdt))
             e = MaskedBatchNorm(name=f'bn{i + 1}')(e, edge_mask, train)
             e = nn.leaky_relu(e, 0.2)
             h = jnp.max(e, axis=2)  # [B, N, d]
@@ -83,7 +87,7 @@ class DGCNN(nn.Module):
 
         h = jnp.concatenate(feats, axis=-1)  # [B, N, 512]
         h = nn.Dense(self.feat_dim, use_bias=False,
-                     dtype=self.compute_dtype, name='conv5')(h)
+                     dtype=cdt, name='conv5')(h)
         h = MaskedBatchNorm(name='bn5')(h, point_mask, train)
         h = nn.leaky_relu(h, 0.2).astype(jnp.float32)
 
@@ -99,13 +103,14 @@ class _SharedMLP(nn.Module):
     (reference pointnet2_modules.py:9-19).  bf16 compute, f32 BN stats."""
 
     dims: Sequence[int]
-    compute_dtype: jnp.dtype = jnp.bfloat16
+    compute_dtype: Optional[jnp.dtype] = None  # None -> global precision switch
 
     @nn.compact
     def __call__(self, x, mask=None, train=True):
-        x = x.astype(self.compute_dtype)
+        cdt = self.compute_dtype or _global_compute_dtype()
+        x = x.astype(cdt)
         for i, d in enumerate(self.dims):
-            x = nn.Dense(d, use_bias=False, dtype=self.compute_dtype,
+            x = nn.Dense(d, use_bias=False, dtype=cdt,
                          name=f'mlp{i}')(x)
             x = MaskedBatchNorm(name=f'bn{i}')(x, mask, train)
             x = nn.relu(x)

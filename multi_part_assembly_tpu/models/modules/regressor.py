@@ -4,6 +4,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ...utils.precision import compute_dtype as _global_compute_dtype
+
 __all__ = ['PoseRegressor', 'StochasticPoseRegressor', 'normalize_rot6d']
 
 
@@ -26,11 +28,15 @@ class PoseRegressor(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # hidden matmuls in the global compute dtype; heads and the
+        # rotation normalization stay f32 (pose accuracy matters more
+        # than the two tiny head matmuls)
+        cdt = _global_compute_dtype()
         rot_dim = 4 if self.rot_type == 'quat' else 6
-        f = nn.Dense(256, name='fc1')(x)
+        f = nn.Dense(256, dtype=cdt, name='fc1')(x.astype(cdt))
         f = nn.leaky_relu(f, 0.2)
-        f = nn.Dense(128, name='fc2')(f)
-        f = nn.leaky_relu(f, 0.2)
+        f = nn.Dense(128, dtype=cdt, name='fc2')(f)
+        f = nn.leaky_relu(f, 0.2).astype(jnp.float32)
         rot = nn.Dense(rot_dim, name='rot_head')(f)
         if self.norm_rot:
             if self.rot_type == 'quat':

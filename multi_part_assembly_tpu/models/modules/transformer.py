@@ -9,22 +9,30 @@ it; no flash-attention needed at this scale.
 from typing import Optional
 
 import flax.linen as nn
+import jax.numpy as jnp
+
+from ...utils.precision import compute_dtype as _global_compute_dtype
 
 __all__ = ['TransformerEncoder']
 
 
 class _EncoderLayer(nn.Module):
-    """One pre/post-LN transformer encoder layer (torch semantics)."""
+    """One pre/post-LN transformer encoder layer (torch semantics).
+
+    Attention/FFN matmuls run in the global compute dtype (bf16 by
+    default); softmax and LayerNorm statistics stay f32."""
 
     d_model: int
     num_heads: int
     ffn_dim: int
     norm_first: bool = True
     dropout: float = 0.1
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, pad_mask=None, train=True):
         """x: [B, N, C]; pad_mask: [B, N] True = padded."""
+        cdt = self.compute_dtype or _global_compute_dtype()
         attn_mask = None
         if pad_mask is not None:
             # [B, 1, 1, N]: queries may not attend to padded keys
@@ -34,14 +42,17 @@ class _EncoderLayer(nn.Module):
             h = nn.MultiHeadDotProductAttention(
                 num_heads=self.num_heads, qkv_features=self.d_model,
                 dropout_rate=self.dropout, deterministic=not train,
-                name='self_attn')(h, h, mask=attn_mask)
+                dtype=cdt, force_fp32_for_softmax=True,
+                name='self_attn')(h.astype(cdt), h.astype(cdt),
+                                  mask=attn_mask)
             return nn.Dropout(self.dropout, deterministic=not train)(h)
 
         def _ffn(h):
-            h = nn.Dense(self.ffn_dim, name='linear1')(h)
+            h = nn.Dense(self.ffn_dim, dtype=cdt, name='linear1')(
+                h.astype(cdt))
             h = nn.relu(h)
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
-            h = nn.Dense(self.d_model, name='linear2')(h)
+            h = nn.Dense(self.d_model, dtype=cdt, name='linear2')(h)
             return nn.Dropout(self.dropout, deterministic=not train)(h)
 
         norm1 = nn.LayerNorm(name='norm1')
@@ -52,7 +63,7 @@ class _EncoderLayer(nn.Module):
         else:
             x = norm1(x + _sa(x))
             x = norm2(x + _ffn(x))
-        return x
+        return x.astype(jnp.float32)
 
 
 class TransformerEncoder(nn.Module):

@@ -60,20 +60,27 @@ def linear_warmup(max_lr, min_lr, total_steps, warmup_steps=0):
 
 
 def build_lr_schedule(cfg, steps_per_epoch):
-    """Schedule from config (reference base_model.py:404-424): cosine with
-    warmup over `num_epochs`, min_lr = lr / lr_decay_factor."""
+    """Schedule from config (reference base_model.py:404-424): cosine or
+    linear with warmup over `num_epochs`, min_lr = lr / lr_decay_factor."""
     lr = cfg.optimizer.lr
-    if not cfg.optimizer.get('lr_scheduler', None):
+    kind = cfg.optimizer.get('lr_scheduler', None)
+    if not kind:
         return lambda step: jnp.asarray(lr, jnp.float32)
-    assert cfg.optimizer.lr_scheduler in ('cosine', )
+    assert kind in ('cosine', 'linear'), kind
     total_epochs = cfg.exp.num_epochs
     warmup_epochs = int(total_epochs * cfg.optimizer.warmup_ratio)
+    min_lr = lr / cfg.optimizer.lr_decay_factor
+    if kind == 'cosine':
+        sched = cosine_warmup_restarts(
+            max_lr=lr, min_lr=min_lr, first_cycle_steps=total_epochs,
+            warmup_steps=warmup_epochs)
+    else:  # reference LinearAnnealingWarmup (lr.py:128-198)
+        sched = linear_warmup(
+            max_lr=lr, min_lr=min_lr, total_steps=total_epochs,
+            warmup_steps=warmup_epochs)
+
     # epoch granularity, like the reference's per-epoch scheduler.step()
     def epoch_schedule(step):
-        epoch = jnp.floor(step / steps_per_epoch)
-        return cosine_warmup_restarts(
-            max_lr=lr, min_lr=lr / cfg.optimizer.lr_decay_factor,
-            first_cycle_steps=total_epochs,
-            warmup_steps=warmup_epochs)(epoch)
+        return sched(jnp.floor(step / steps_per_epoch))
 
     return epoch_schedule

@@ -4,8 +4,9 @@ from .eval_utils import (calc_connectivity_acc, calc_part_acc, rot_metrics,
 from .loss import (_valid_mean, repulsion_cd_loss, rot_cosine_loss,
                    rot_l2_loss, rot_points_cd_loss, rot_points_l2_loss,
                    shape_cd_loss, trans_l2_loss)
-from .misc import (colorize_part_pc, pickle_dump, pickle_load, save_pc,
-                   wd_param_mask)
+from .misc import (apply_pmat, colorize_part_pc, pickle_dump, pickle_load,
+                   save_obj, save_pc, wd_param_mask)
+from .precision import compute_dtype, configure_precision, set_compute_dtype
 from .rotation import (Rotation3D, axis_angle_to_matrix,
                        axis_angle_to_quaternion, matrix_to_axis_angle,
                        matrix_to_quaternion, qeuler, quaternion_apply,

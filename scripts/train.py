@@ -31,8 +31,11 @@ def main():
                         help='config overrides: key value [key value ...]')
     parser.add_argument('--ckp_dir', type=str, default='')
     parser.add_argument('--overfit', type=int, default=-1)
-    parser.add_argument('--bf16', action='store_true',
-                        help='bf16 matmuls where safe')
+    parser.add_argument('--bf16', action=argparse.BooleanOptionalAction,
+                        default=None,
+                        help='bf16 matmuls in encoders/transformer/'
+                             'regressors (default: cfg.exp.bf16, which '
+                             'defaults to True; --no-bf16 forces full f32)')
     parser.add_argument('--no_resume', action='store_true')
     parser.add_argument('--vis', type=int, default=-1,
                         help='samples to visualize per val epoch')
@@ -54,6 +57,8 @@ def main():
         cfg.data.category = args.category
     if args.overfit > 0:
         cfg.data.overfit = args.overfit
+    if args.bf16 is not None:
+        cfg.exp.bf16 = args.bf16
     if args.vis >= 0:
         cfg.exp.val_sample_vis = args.vis
 
