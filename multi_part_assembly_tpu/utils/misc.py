@@ -9,9 +9,29 @@ import pickle
 import numpy as np
 
 __all__ = [
-    'pickle_load', 'pickle_dump', 'save_pc', 'colorize_part_pc',
-    'wd_param_mask',
+    'pickle_load', 'pickle_dump', 'save_pc', 'save_obj', 'apply_pmat',
+    'colorize_part_pc', 'wd_param_mask',
 ]
+
+
+def save_obj(verts, faces, file):
+    """Write a triangle mesh as OBJ (replaces trimesh.export,
+    reference scripts/vis.py:79-97)."""
+    verts = np.asarray(verts)
+    faces = np.asarray(faces)
+    with open(file, 'w') as f:
+        for x, y, z in verts:
+            f.write(f'v {x:.6f} {y:.6f} {z:.6f}\n')
+        for tri in faces:
+            f.write('f ' + ' '.join(str(int(i) + 1) for i in tri) + '\n')
+
+
+def apply_pmat(verts, pmat):
+    """Apply a homogeneous 4x4 transform to [N, 3] points (trimesh
+    apply_transform equivalent, reference scripts/vis.py:86,97)."""
+    verts = np.asarray(verts)
+    pmat = np.asarray(pmat)
+    return verts @ pmat[:3, :3].T + pmat[:3, 3]
 
 
 def pickle_load(file, **kwargs):
