@@ -35,8 +35,21 @@ __all__ = ['make_mesh', 'batch_sharding', 'replicated', 'shard_batch',
 
 def init_distributed():
     """Multi-host init (reference: Lightning/SLURM spawn; here
-    jax.distributed over the cluster coordinator).  No-op single-host."""
+    jax.distributed over the cluster coordinator).  No-op single-host.
+
+    Env overrides (must run before any backend-initializing JAX call):
+      MPA_PLATFORM=cpu           - force a platform (the container's
+                                   sitecustomize ignores JAX_PLATFORMS)
+      MPA_NUM_CPU_DEVICES=8      - virtual CPU device count (CI / e2e
+                                   checks without TPU hardware)
+    """
     import os
+    platform = os.environ.get('MPA_PLATFORM')
+    if platform:
+        jax.config.update('jax_platforms', platform)
+        n = os.environ.get('MPA_NUM_CPU_DEVICES')
+        if n:
+            jax.config.update('jax_num_cpu_devices', int(n))
     if os.environ.get('JAX_COORDINATOR_ADDRESS'):
         jax.distributed.initialize()
 
