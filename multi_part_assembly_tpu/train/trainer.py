@@ -88,6 +88,8 @@ def _prep_batch(batch, cfg, mesh, rng, augment=True):
 
 class Trainer:
     def __init__(self, cfg, ckp_dir=None, resume=True, quiet=False):
+        from ..utils.precision import configure_precision
+        configure_precision(cfg)  # cfg.exp.bf16 -> global compute dtype
         self.cfg = cfg
         self.mesh = make_mesh(batch_size=cfg.exp.batch_size)
         self.model = build_model(cfg)
@@ -117,7 +119,9 @@ class Trainer:
                 max_to_keep=5,
                 best_fn=lambda m: m.get('val/part_acc', 0.0),
                 best_mode='max',
-                enable_async_checkpointing=False,
+                # async: the save's device->host copy overlaps the next
+                # train epoch (ROADMAP item 4); close()/fit() join it
+                enable_async_checkpointing=True,
             ))
         self.start_epoch = 0
         self.test_results = None
@@ -218,27 +222,30 @@ class Trainer:
         return metrics
 
     def _export_val_vis(self, epoch, n_vis):
-        """Sampled-assembly PLY export every val epoch (the reference's
-        PCAssemblyLogCallback logged these to wandb, callback.py:30-35)."""
+        """Sampled-assembly PLY export every val epoch on one fixed train
+        AND one fixed val batch (the reference's PCAssemblyLogCallback
+        logged both to wandb, callback.py:20-35)."""
         from .vis_utils import export_assembly_samples, sample_assembly
-        try:
-            batch = next(iter(self.val_loader))
-        except StopIteration:
-            return
-        device_batch, bs = _prep_batch(batch, self.cfg, self.mesh,
-                                       jax.random.PRNGKey(epoch))
+        colors = self.cfg.data.get('colors', [[127, 127, 127]] * 21)
         variables = {'params': self.state.params,
                      'batch_stats': self.state.batch_stats}
-        gt_pcs, preds = sample_assembly(
-            self.model, variables, device_batch, self._next_rng(),
-            rot_type=self.cfg.model.rot_type,
-            sample_iter=self.cfg.loss.get('sample_iter', 1))
-        colors = self.cfg.data.get('colors', [[127, 127, 127]] * 21)
-        export_assembly_samples(
-            jax.tree_util.tree_map(lambda x: x[:bs], gt_pcs),
-            [p[:bs] for p in preds], device_batch['part_valids'][:bs],
-            colors, os.path.join(self.ckp_dir, 'vis'),
-            prefix=f'epoch{epoch}', max_shapes=min(n_vis, bs))
+        for split, loader in [('train', self.train_loader),
+                              ('val', self.val_loader)]:
+            try:
+                batch = next(iter(loader))
+            except StopIteration:
+                continue
+            device_batch, bs = _prep_batch(batch, self.cfg, self.mesh,
+                                           jax.random.PRNGKey(epoch))
+            gt_pcs, preds = sample_assembly(
+                self.model, variables, device_batch, self._next_rng(),
+                rot_type=self.cfg.model.rot_type,
+                sample_iter=self.cfg.loss.get('sample_iter', 1))
+            export_assembly_samples(
+                jax.tree_util.tree_map(lambda x: x[:bs], gt_pcs),
+                [p[:bs] for p in preds], device_batch['part_valids'][:bs],
+                colors, os.path.join(self.ckp_dir, 'vis'),
+                prefix=f'epoch{epoch}_{split}', max_shapes=min(n_vis, bs))
 
     def fit(self):
         cfg = self.cfg
@@ -266,4 +273,5 @@ class Trainer:
 
     def close(self):
         self.logger.close()
+        self.ckpt_mgr.wait_until_finished()
         self.ckpt_mgr.close()
