@@ -9,6 +9,7 @@ the jax.distributed equivalent of DistributedSampler).
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import jax
 import numpy as np
@@ -76,16 +77,26 @@ class DataLoader:
         stop = threading.Event()
 
         def produce():
-            for b in batches:
-                if stop.is_set():
-                    return
-                try:
-                    items = [self.dataset[int(i)] for i in b]
-                    q.put(self._collate(items))
-                except Exception as e:  # surface errors to the consumer
-                    q.put(e)
-                    return
-            q.put(None)
+            # items fetch in a worker pool (the native mesh sampler and
+            # numpy both release the GIL, so threads scale ~linearly)
+            pool = ThreadPoolExecutor(self.num_workers) \
+                if self.num_workers > 1 else None
+            try:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    try:
+                        fetch = pool.map if pool else map
+                        items = list(fetch(
+                            lambda i: self.dataset[int(i)], b))
+                        q.put(self._collate(items))
+                    except Exception as e:  # surface errors to the consumer
+                        q.put(e)
+                        return
+                q.put(None)
+            finally:
+                if pool:
+                    pool.shutdown(wait=False)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

@@ -164,24 +164,43 @@ class Trainer:
         return k
 
     def train_epoch(self, epoch):
+        """One epoch, with the host one step behind the device.
+
+        Each iteration dispatches the (async) H2D transfer and train step,
+        then materializes the PREVIOUS step's metrics -- so the next
+        batch's host->device copy and the logger's float() sync overlap
+        the current step's compute (double-buffered input pipeline,
+        ROADMAP item 3).  The step counter is tracked host-side to avoid
+        syncing on `state.step` (a device scalar of the in-flight step).
+        """
         self.train_loader.set_epoch(epoch)
+        step0 = int(self.state.step)
         t_last = time.perf_counter()
-        logs = None
+        pending, last = None, None
+
+        def flush(p):
+            logs, step_no, t_data = p
+            logs = {k: float(v) for k, v in logs.items()}  # device sync
+            logs['data_time'] = t_data
+            logs['lr'] = float(self.lr_schedule(step_no))
+            if jax.process_index() == 0:
+                self.logger.log(
+                    {f'train/{k}': v for k, v in logs.items()}, step=step_no)
+            return logs
+
         for i, batch in enumerate(self.train_loader):
             t_data = time.perf_counter() - t_last
             rng = self._next_rng()
             device_batch, _ = _prep_batch(batch, self.cfg, self.mesh, rng,
                                           augment=False)
             self.state, logs = self.train_step(self.state, device_batch, rng)
-            logs = dict(logs)
-            logs['data_time'] = t_data
-            logs['lr'] = self.lr_schedule(self.state.step)
-            if jax.process_index() == 0:
-                self.logger.log(
-                    {f'train/{k}': v for k, v in logs.items()},
-                    step=int(self.state.step))
+            if pending is not None:
+                last = flush(pending)
+            pending = (logs, step0 + i + 1, t_data)
             t_last = time.perf_counter()
-        return logs
+        if pending is not None:
+            last = flush(pending)
+        return last
 
     def _eval_loop(self, loader, prefix):
         """Batch-size weighted averaging (reference base_model.py:65-88).
@@ -190,15 +209,29 @@ class Trainer:
         sums are all-reduced across hosts (the reference's
         `sync_dist=True`)."""
         sums, weights = {}, 0.0
-        for batch in loader:
-            rng = self._next_rng()
-            device_batch, bs = _prep_batch(batch, self.cfg, self.mesh, rng,
-                                           augment=False)
-            logs = self.eval_step(self.state, device_batch, rng)
+        # keep a couple of (async) eval steps in flight so the next batch's
+        # H2D overlaps the current step's compute; bounded so queued device
+        # batches don't pile up in HBM
+        in_flight = []
+
+        def drain(p):
+            nonlocal weights
+            logs, bs = p
             for k, v in logs.items():
                 sums[k] = sums.get(k, 0.0) + float(
                     np.asarray(v)[:bs].sum())
             weights += bs
+
+        for batch in loader:
+            rng = self._next_rng()
+            device_batch, bs = _prep_batch(batch, self.cfg, self.mesh, rng,
+                                           augment=False)
+            in_flight.append((self.eval_step(self.state, device_batch, rng),
+                              bs))
+            if len(in_flight) > 2:
+                drain(in_flight.pop(0))
+        for p in in_flight:
+            drain(p)
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
             keys = sorted(sums)
