@@ -21,13 +21,18 @@ Design notes (TPU), in order of impact:
     along K (K=48) -- f32-exact in ONE bf16 MXU pass, ~6x cheaper than a
     HIGHEST f32 matmul, because a K <= 128 contraction costs one pass
     regardless of K (see `_pack_x48`).
-  - **Witness-matmul backward, no scatter**: the backward recomputes the
-    bit-identical distance tiles, identifies witnesses by equality against
-    the saved minima, and accumulates both directions' gradients through
-    two skinny MXU matmuls (the CUDA backward scattered with atomicAdd,
-    chamfer_kernel.cu:203-208; XLA scatter was 3x slower).  The forward
-    also records each point's winning part so the backward skips part
-    pairs that hold no witnesses (O(p) relevant pairs on real data).
+  - **Grouped part-pair tiles**: the forward processes gy y-parts per MXU
+    tile ([Npad, gy*Npad] from a lane-packed VMEM scratch) -- same FLOPs,
+    ~gy x fewer loop-iteration overheads (measured ~2us per fori_loop
+    iteration at p=20).
+  - **Exact-witness backward, no scatter, no recompute**: the forward
+    records each point's flat witness index (first hit in scan order, the
+    CUDA tie rule); the backward builds scatter weights from a pure iota
+    compare and accumulates both directions' gradients through two skinny
+    MXU matmuls (the CUDA backward scattered with atomicAdd,
+    chamfer_kernel.cu:203-208; XLA scatter was 3x slower).  It visits only
+    witness-linked (part, group) tiles, listed in XLA and scalar-prefetched
+    to SMEM (an in-kernel relevance scan cost ~6.5us per SKIPPED pair).
   - The min values stay f32-accurate (the 0.01 part-accuracy threshold
     needs it; the CUDA ext pinned f32 via AMP `custom_fwd`, chamfer.py:14);
     only the backward's gradient accumulation runs in bf16
@@ -425,14 +430,47 @@ def _pack_y48(aug):
     return jnp.concatenate([b1, b2, b3, b1, b2, b1], axis=2)
 
 
+def _pick_gy(max_parts, npad):
+    """Y-group width for the fused forward: the largest divisor of P (<= 8)
+    whose [Npad, gy*Npad] f32 tile fits a ~24MB VMEM budget.  Grouping
+    amortizes the ~2us per-loop-iteration overhead over one big MXU tile."""
+    budget = 24 * 1024 * 1024
+    best = 1
+    for g in range(1, min(max_parts, 8) + 1):
+        if max_parts % g == 0 and g * npad * npad * 4 <= budget:
+            best = g
+    return best
+
+
+def _finalize_parts(n_p, d1_ref, d2_ref, w1_ref, w2_ref, npad, max_parts):
+    """Clamp fp noise at 0; zero dists / -1 witnesses at invalid parts."""
+    part_valid = jax.lax.broadcasted_iota(
+        jnp.int32, (max_parts, npad), 0) < n_p
+    d1_ref[0, :, 0, :] = jnp.where(
+        part_valid, jnp.maximum(d1_ref[0, :, 0, :], 0.0), 0.0)
+    d2_ref[0, :, 0, :] = jnp.where(
+        part_valid, jnp.maximum(d2_ref[0, :, 0, :], 0.0), 0.0)
+    w1_ref[0, :, 0, :] = jnp.where(part_valid, w1_ref[0, :, 0, :], -1)
+    w2_ref[0, :, 0, :] = jnp.where(part_valid, w2_ref[0, :, 0, :], -1)
+
+
 def _fused_parts_fwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref,
-                            w1_ref, w2_ref, *, npad, max_parts,
-                            diagonal=False):
-    """Grid (B,).  x_ref/y_ref: [1, P, 48, Npad] split-packed bf16 parts.
+                            w1_ref, w2_ref, yscr_ref, *, npad, max_parts,
+                            gy):
+    """Grid (B,).  x_ref/y_ref: [1, P, 48, Npad] split-packed bf16 parts
+    (invalid parts pre-pushed to _PAD_VAL by the packing step, so no
+    in-kernel validity masking is needed -- pad-coordinate distances are
+    ~1e12 and never win a min against real points).
     d1_ref/d2_ref: [1, P, 8, Npad] f32, row 0 = min squared distance.
-    w1_ref/w2_ref: [1, P, 8, Npad] i32, row 0 = index of the part that
-    holds each point's witness (lets the backward visit only witness-linked
-    part pairs)."""
+    w1_ref/w2_ref: [1, P, 8, Npad] i32, row 0 = FLAT witness index into
+    the other cloud viewed as [P*Npad] (first hit in scan order, exactly
+    the CUDA kernel's tie rule, chamfer_kernel.cu:32-95).  Exact indices
+    let the backward build its scatter weights from an iota compare --
+    no distance recompute, no equality masks, no tie normalization.
+    yscr_ref: [P/gy, 48, gy*Npad] bf16 VMEM scratch -- y parts lane-packed
+    into groups once per program; each (x-part, y-group) pair is then ONE
+    [Npad, gy*Npad] MXU tile instead of gy small ones (amortizes the ~2us
+    per-loop-iteration overhead)."""
     b = pl.program_id(0)
     n_p = nparts_ref[b]
     BIG = jnp.float32(1e30)
@@ -442,123 +480,211 @@ def _fused_parts_fwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref,
     w1_ref[0, :, 0, :] = jnp.full((max_parts, npad), -1, jnp.int32)
     w2_ref[0, :, 0, :] = jnp.full((max_parts, npad), -1, jnp.int32)
 
+    for c0 in range(max_parts // gy):  # lane-pack y groups (VMEM copies)
+        yscr_ref[c0] = jnp.concatenate(
+            [y_ref[0, c0 * gy + r] for r in range(gy)], axis=1)
+
+    n_groups = (n_p + gy - 1) // gy
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (npad, gy * npad), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (npad, gy * npad), 0)
+
     def pair_body(k, _):
-        # diagonal mode: each part pairs only with its own counterpart
-        # (per-part chamfer, reference loss.py:113-138 / eval_utils.py:12-46)
-        i = k if diagonal else k // n_p
-        j = k if diagonal else k % n_p
+        i = k // n_groups
+        c = k - i * n_groups
         x48 = x_ref[0, i]  # [48, Npad] bf16 split-packed
-        y48 = y_ref[0, j]
-        # one bf16 MXU pass = full |x - y|^2 in f32 accuracy (see _pack_x48);
-        # backward recomputes the identical op so witness equality is exact
+        # one bf16 MXU pass = full |x - y|^2 in f32 accuracy (see _pack_x48)
+        # for gy parts at once
+        d = jax.lax.dot_general(
+            x48, yscr_ref[c], (((0, ), (0, )), ((), ())),
+            preferred_element_type=jnp.float32)  # [Npad, gy*Npad]
+        # row min + first-hit witness column over the whole group (2 VPU
+        # passes; first hit = smallest flat index, the CUDA tie rule)
+        base = c * gy * npad
+        m = jnp.min(d, axis=1)  # [Npad]
+        midx = jnp.min(jnp.where(d == m[:, None], col_iota, gy * npad),
+                       axis=1) + base
+        take1 = m < d1_ref[0, i, 0, :]
+        d1_ref[0, i, 0, :] = jnp.where(take1, m, d1_ref[0, i, 0, :])
+        w1_ref[0, i, 0, :] = jnp.where(take1, midx, w1_ref[0, i, 0, :])
+        # column minima + first-hit witness row: one pass over the tile
+        cm = jnp.min(d, axis=0)  # [gy*Npad]
+        am = jnp.min(jnp.where(d == cm[None, :], row_iota, npad),
+                     axis=0) + i * npad
+        for r in range(gy):
+            j = c * gy + r
+            cmr = cm[r * npad:(r + 1) * npad]
+            take2 = cmr < d2_ref[0, j, 0, :]
+            d2_ref[0, j, 0, :] = jnp.where(take2, cmr, d2_ref[0, j, 0, :])
+            w2_ref[0, j, 0, :] = jnp.where(
+                take2, am[r * npad:(r + 1) * npad], w2_ref[0, j, 0, :])
+        return 0
+
+    jax.lax.fori_loop(0, n_p * n_groups, pair_body, 0)
+    _finalize_parts(n_p, d1_ref, d2_ref, w1_ref, w2_ref, npad, max_parts)
+
+
+def _fused_diag_fwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref,
+                           w1_ref, w2_ref, *, npad, max_parts):
+    """Diagonal mode: part i of x pairs only with part i of y (per-part
+    chamfer, reference loss.py:113-138 / eval_utils.py:12-46).  Linear in
+    n_p, so no grouping.  Witness indices are flat (i*Npad + local)."""
+    b = pl.program_id(0)
+    n_p = nparts_ref[b]
+    BIG = jnp.float32(1e30)
+
+    d1_ref[0, :, 0, :] = jnp.full((max_parts, npad), BIG, jnp.float32)
+    d2_ref[0, :, 0, :] = jnp.full((max_parts, npad), BIG, jnp.float32)
+    w1_ref[0, :, 0, :] = jnp.full((max_parts, npad), -1, jnp.int32)
+    w2_ref[0, :, 0, :] = jnp.full((max_parts, npad), -1, jnp.int32)
+
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 0)
+
+    def pair_body(i, _):
+        x48 = x_ref[0, i]
+        y48 = y_ref[0, i]
         d = jax.lax.dot_general(
             x48, y48, (((0, ), (0, )), ((), ())),
             preferred_element_type=jnp.float32)
-        rmin = jnp.min(d, axis=1)
-        take1 = rmin < d1_ref[0, i, 0, :]
-        d1_ref[0, i, 0, :] = jnp.where(take1, rmin, d1_ref[0, i, 0, :])
-        w1_ref[0, i, 0, :] = jnp.where(take1, j, w1_ref[0, i, 0, :])
-        cmin = jnp.min(d, axis=0)
-        take2 = cmin < d2_ref[0, j, 0, :]
-        d2_ref[0, j, 0, :] = jnp.where(take2, cmin, d2_ref[0, j, 0, :])
-        w2_ref[0, j, 0, :] = jnp.where(take2, i, w2_ref[0, j, 0, :])
+        m1 = jnp.min(d, axis=1)
+        d1_ref[0, i, 0, :] = m1
+        w1_ref[0, i, 0, :] = jnp.min(
+            jnp.where(d == m1[:, None], col_iota, npad), axis=1) + i * npad
+        m2 = jnp.min(d, axis=0)
+        d2_ref[0, i, 0, :] = m2
+        w2_ref[0, i, 0, :] = jnp.min(
+            jnp.where(d == m2[None, :], row_iota, npad), axis=0) + i * npad
         return 0
 
-    jax.lax.fori_loop(0, n_p if diagonal else n_p * n_p, pair_body, 0)
-
-    # finalize: clamp fp noise at 0, zero out invalid parts
-    part_valid = jax.lax.broadcasted_iota(
-        jnp.int32, (max_parts, npad), 0) < n_p
-    d1_ref[0, :, 0, :] = jnp.where(
-        part_valid, jnp.maximum(d1_ref[0, :, 0, :], 0.0), 0.0)
-    d2_ref[0, :, 0, :] = jnp.where(
-        part_valid, jnp.maximum(d2_ref[0, :, 0, :], 0.0), 0.0)
+    jax.lax.fori_loop(0, n_p, pair_body, 0)
+    _finalize_parts(n_p, d1_ref, d2_ref, w1_ref, w2_ref, npad, max_parts)
 
 
-def _fused_parts_bwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref,
-                            w1_ref, w2_ref, g1_ref, g2_ref, dx_ref, dy_ref,
-                            *, npad, max_parts, diagonal=False):
-    """Backward of the fused chamfer.
+def _recon_x(x48):
+    """f32 coords from an x split-pack: terms at rows 0-7 (a1), 24-31
+    (a2), 40-47 (a3) -- see _pack_x48."""
+    return (x48[0:3, :].astype(jnp.float32) +
+            x48[24:27, :].astype(jnp.float32) +
+            x48[40:43, :].astype(jnp.float32))
 
-    Only witness-linked part pairs do work: the forward recorded each
-    point's winning part (w1/w2), so a pair (i, j) is skipped entirely
-    unless some point of part i has its witness in part j or vice versa --
-    typically O(p) relevant pairs instead of p^2.  Within a relevant pair,
-    witnesses are tile entries equal to the saved min AND belonging to the
-    winning part; gradients accumulate as
-        dx_i += 2 (g1_i x_i - sum_j W_ij y_j),
-        dy_j -= 2 (sum_i W_ij x_i - colsum(W) y_j)
-    with W combining both directions (within-part distance ties split the
-    gradient evenly; cross-part ties resolve to the first part, like the
-    CUDA kernel's first-hit scan).  dx/dy rows 0..2 hold coordinate grads."""
+
+def _recon_y(y48):
+    """f32 coords from a y split-pack (rows scaled by -2): terms at rows
+    0-7 (b1), 8-15 (b2), 16-23 (b3) -- see _pack_y48."""
+    return (y48[0:3, :].astype(jnp.float32) +
+            y48[8:11, :].astype(jnp.float32) +
+            y48[16:19, :].astype(jnp.float32)) * (-0.5)
+
+
+def _bwd_accumulate(W, xc, yc):
+    """Gradient contributions of one tile given its scatter weights W.
+
+    W[m, n] = g1[m]*[witness(x_m) == y_n] + g2[n]*[witness(y_n) == x_m];
+    gradients then ride two skinny MXU matmuls instead of a scatter (the
+    CUDA backward used atomicAdd, chamfer_kernel.cu:203-208):
+        dx += 2 (rowsum(W) x - W y),
+        dy -= 2 (W^T x - colsum(W) y).
+    """
+    row_w = jnp.sum(W, axis=1)  # [Nx]
+    col_w = jnp.sum(W, axis=0)  # [Ny]
+    # gradient accumulation tolerates bf16 operand rounding (~0.1%
+    # relative -- the reference trains under fp16 AMP anyway), so these
+    # ride the MXU in one pass instead of HIGHEST's six
+    y_acc = jax.lax.dot_general(
+        yc, W, (((1, ), (1, )), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=BWD_ACC_PRECISION)  # [3, Nx]
+    x_acc = jax.lax.dot_general(
+        xc, W, (((1, ), (0, )), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=BWD_ACC_PRECISION)  # [3, Ny]
+    dx = 2.0 * (row_w[None, :] * xc - y_acc)
+    dy = -2.0 * (x_acc - col_w[None, :] * yc)
+    return dx, dy
+
+
+def _fused_parts_bwd_kernel(plist_ref, x_ref, y_ref, w1_ref, w2_ref,
+                            g1_ref, g2_ref, dx_ref, dy_ref, *, npad,
+                            max_parts, gy):
+    """Backward of the fused whole-shape chamfer over the witness-linked
+    (x-part, y-group) tiles ONLY.
+
+    plist_ref[b] = [n_rel, pid_0, pid_1, ...] (pid = i * n_groups + c) is
+    precomputed in XLA from the forward's witness maps (see
+    `_relevant_pairs`) and scalar-prefetched to SMEM, so the loop runs
+    exactly n_rel times -- an in-kernel relevance scan costs ~6.5us per
+    SKIPPED pair, which dominated the old backward at p=20.  The exact
+    witness indices recorded by the forward turn the scatter weights into
+    a pure iota compare: no distance recompute, no equality masks, no tie
+    normalization (first-hit semantics, like the CUDA scan)."""
+    b = pl.program_id(0)
+    n_rel = plist_ref[b, 0]
+    n_groups = max_parts // gy
+
+    dx_ref[0] = jnp.zeros((max_parts, 8, npad), jnp.float32)
+    dy_ref[0] = jnp.zeros((max_parts, 8, npad), jnp.float32)
+
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (npad, gy * npad), 1)
+    grow = jax.lax.broadcasted_iota(jnp.int32, (npad, gy * npad), 0)
+
+    def pair_body(k, _):
+        pid = plist_ref[b, 1 + k]
+        i = pid // n_groups
+        c = pid - i * n_groups
+        w1 = w1_ref[0, i, 0, :]  # [Nx] flat witness index into y
+        g1 = g1_ref[0, i, 0, :]
+        w2cat = jnp.concatenate(
+            [w2_ref[0, c * gy + r, 0, :] for r in range(gy)], axis=0)
+        g2cat = jnp.concatenate(
+            [g2_ref[0, c * gy + r, 0, :] for r in range(gy)], axis=0)
+        base = c * gy * npad
+        W = (gcol + base == w1[:, None]).astype(jnp.float32) * \
+            g1[:, None] + \
+            (grow + i * npad == w2cat[None, :]).astype(jnp.float32) * \
+            g2cat[None, :]
+        xc = _recon_x(x_ref[0, i])
+        yc = jnp.concatenate(
+            [_recon_y(y_ref[0, c * gy + r]) for r in range(gy)],
+            axis=1)  # [3, gy*Npad]
+        dx, dy = _bwd_accumulate(W, xc, yc)
+        dx_ref[0, i, 0:3, :] += dx
+        for r in range(gy):
+            dy_ref[0, c * gy + r, 0:3, :] += \
+                dy[:, r * npad:(r + 1) * npad]
+        return 0
+
+    jax.lax.fori_loop(0, n_rel, pair_body, 0)
+
+
+def _fused_diag_bwd_kernel(nparts_ref, x_ref, y_ref, w1_ref, w2_ref,
+                           g1_ref, g2_ref, dx_ref, dy_ref, *, npad,
+                           max_parts):
+    """Diagonal-mode backward: every witness lies within the pair itself,
+    so no pair list is needed; scatter weights come from the forward's
+    exact witness indices."""
     b = pl.program_id(0)
     n_p = nparts_ref[b]
 
     dx_ref[0] = jnp.zeros((max_parts, 8, npad), jnp.float32)
     dy_ref[0] = jnp.zeros((max_parts, 8, npad), jnp.float32)
 
-    def pair_body(k, _):
-        i = k if diagonal else k // n_p
-        j = k if diagonal else k % n_p
-        win1 = w1_ref[0, i, 0, :]  # [Nx] winning y-part per x point
-        win2 = w2_ref[0, j, 0, :]  # [Ny] winning x-part per y point
-        relevant = jnp.any(win1 == j) | jnp.any(win2 == i)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 0)
 
-        @pl.when(relevant)
-        def _():
-            x48 = x_ref[0, i]
-            y48 = y_ref[0, j]
-            # identical recompute to the forward (same op, same inputs)
-            d = jnp.maximum(
-                jax.lax.dot_general(
-                    x48, y48, (((0, ), (0, )), ((), ())),
-                    preferred_element_type=jnp.float32), 0.0)
-
-            # reconstruct f32 coords from the split rows: x terms at rows
-            # 0-7 (a1), 24-31 (a2), 40-47 (a3); y terms (scaled by -2) at
-            # rows 0-7 (b1), 8-15 (b2), 16-23 (b3)
-            xc = (x48[0:3, :].astype(jnp.float32) +
-                  x48[24:27, :].astype(jnp.float32) +
-                  x48[40:43, :].astype(jnp.float32))
-            yc = (y48[0:3, :].astype(jnp.float32) +
-                  y48[8:11, :].astype(jnp.float32) +
-                  y48[16:19, :].astype(jnp.float32)) * (-0.5)
-
-            # (bool arrays can't broadcast a new minor dim in Mosaic, so
-            # the part-winner masks are built in f32)
-            d1 = d1_ref[0, i, 0, :]
-            winmask1 = jnp.where(win1 == j, 1.0, 0.0)  # [Nx] f32
-            mask1 = (d == d1[:, None]).astype(jnp.float32) * \
-                winmask1[:, None]
-            cnt1 = jnp.maximum(jnp.sum(mask1, axis=1), 1.0)
-            w1 = (g1_ref[0, i, 0, :] / cnt1)[:, None] * mask1  # [Nx, Ny]
-            d2 = d2_ref[0, j, 0, :]
-            winmask2 = jnp.where(win2 == i, 1.0, 0.0)  # [Ny] f32
-            mask2 = (d == d2[None, :]).astype(jnp.float32) * \
-                winmask2[None, :]
-            cnt2 = jnp.maximum(jnp.sum(mask2, axis=0), 1.0)
-            w2 = (g2_ref[0, j, 0, :] / cnt2)[None, :] * mask2
-
-            W = w1 + w2
-            row_w = jnp.sum(W, axis=1)  # [Nx]
-            col_w = jnp.sum(W, axis=0)  # [Ny]
-            # gradient accumulation tolerates bf16 operand rounding (~0.1%
-            # relative -- the reference trains under fp16 AMP anyway), so
-            # these ride the MXU in one pass instead of HIGHEST's six
-            y_acc = jax.lax.dot_general(
-                yc, W, (((1, ), (1, )), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=BWD_ACC_PRECISION)  # [3, Nx]
-            x_acc = jax.lax.dot_general(
-                xc, W, (((1, ), (0, )), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=BWD_ACC_PRECISION)  # [3, Ny]
-            dx_ref[0, i, 0:3, :] += 2.0 * (row_w[None, :] * xc - y_acc)
-            dy_ref[0, j, 0:3, :] += -2.0 * (x_acc - col_w[None, :] * yc)
-
+    def pair_body(i, _):
+        base = i * npad
+        W = (col_iota + base == w1_ref[0, i, 0, :][:, None]).astype(
+            jnp.float32) * g1_ref[0, i, 0, :][:, None] + \
+            (row_iota + base == w2_ref[0, i, 0, :][None, :]).astype(
+                jnp.float32) * g2_ref[0, i, 0, :][None, :]
+        xc = _recon_x(x_ref[0, i])
+        yc = _recon_y(y_ref[0, i])
+        dx, dy = _bwd_accumulate(W, xc, yc)
+        dx_ref[0, i, 0:3, :] += dx
+        dy_ref[0, i, 0:3, :] += dy
         return 0
 
-    jax.lax.fori_loop(0, n_p if diagonal else n_p * n_p, pair_body, 0)
+    jax.lax.fori_loop(0, n_p, pair_body, 0)
 
 
 def _fused_parts_fwd_pallas(x48, y48, n_parts, diagonal=False,
@@ -567,9 +693,17 @@ def _fused_parts_fwd_pallas(x48, y48, n_parts, diagonal=False,
     kwargs = {} if interpret else {
         'compiler_params': pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)}
+    if diagonal:
+        kernel = functools.partial(
+            _fused_diag_fwd_kernel, npad=npad, max_parts=P)
+        scratch = []
+    else:
+        gy = _pick_gy(P, npad)
+        kernel = functools.partial(
+            _fused_parts_fwd_kernel, npad=npad, max_parts=P, gy=gy)
+        scratch = [pltpu.VMEM((P // gy, 48, gy * npad), jnp.bfloat16)]
     d1, d2, w1, w2 = pl.pallas_call(
-        functools.partial(_fused_parts_fwd_kernel, npad=npad, max_parts=P,
-                          diagonal=diagonal),
+        kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, ),
@@ -580,6 +714,7 @@ def _fused_parts_fwd_pallas(x48, y48, n_parts, diagonal=False,
             out_specs=[
                 pl.BlockSpec((1, P, 8, npad), lambda b, nref: (b, 0, 0, 0)),
             ] * 4,
+            scratch_shapes=scratch,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((B, P, 8, npad), jnp.float32),
@@ -593,15 +728,52 @@ def _fused_parts_fwd_pallas(x48, y48, n_parts, diagonal=False,
     return d1, d2, w1, w2
 
 
-def _fused_parts_bwd_pallas(x48, y48, d1, d2, w1, w2, g1, g2, n_parts,
-                            diagonal=False, interpret=False):
+def _relevant_pairs(w1, w2, n, max_parts, npad, gy):
+    """[B, 1 + P*(P/gy)] i32 tile list for the backward: per batch element,
+    the count of witness-linked (x-part i, y-group c) tiles followed by
+    their ids (pid = i * n_groups + c, ascending).  A tile is linked when
+    some point of x-part i has its forward witness in group c (w1, flat
+    indices) or some point of a group-c part has its witness in part i
+    (w2); only the first `n` (real) points of each part are consulted --
+    pad-point witnesses are artifacts.  Runs in XLA between the forward
+    and backward pallas calls."""
+    B = w1.shape[0]
+    n_groups = max_parts // gy
+    win1g = w1[:, :, 0, :n] // (npad * gy)  # [B, P, n] witness y-GROUP
+    win2p = w2[:, :, 0, :n] // npad         # [B, P, n] witness x-PART
+    cid = jnp.arange(n_groups, dtype=jnp.int32)
+    pid = jnp.arange(max_parts, dtype=jnp.int32)
+    rel1 = jnp.any(win1g[..., None] == cid, axis=2)   # [B, P_i, C]
+    rel2 = jnp.any(win2p[..., None] == pid, axis=2)   # [B, P_j, P_i]
+    # group rel2 over j: tile (i, c) linked if any part j in group c has a
+    # witness in part i
+    rel2g = jnp.any(rel2.reshape(B, n_groups, gy, max_parts), axis=2)
+    rel = rel1 | jnp.swapaxes(rel2g, 1, 2)            # [B, P_i, C]
+    ntiles = max_parts * n_groups
+    relf = rel.reshape(B, ntiles)
+    count = jnp.sum(relf, axis=1, dtype=jnp.int32)
+    ids = jnp.where(relf, jnp.arange(ntiles, dtype=jnp.int32), ntiles)
+    ids = jnp.sort(ids, axis=1).astype(jnp.int32)
+    return jnp.concatenate([count[:, None], ids], axis=1)
+
+
+def _fused_parts_bwd_pallas(x48, y48, w1, w2, g1, g2, n_parts,
+                            n_real, diagonal=False, interpret=False):
     B, P, _, npad = x48.shape
     kwargs = {} if interpret else {
         'compiler_params': pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)}
+    if diagonal:
+        kernel = functools.partial(_fused_diag_bwd_kernel, npad=npad,
+                                   max_parts=P)
+        prefetch = n_parts.astype(jnp.int32)
+    else:
+        gy = _pick_gy(P, npad)
+        kernel = functools.partial(_fused_parts_bwd_kernel, npad=npad,
+                                   max_parts=P, gy=gy)
+        prefetch = _relevant_pairs(w1, w2, n_real, P, npad, gy)
     dx, dy = pl.pallas_call(
-        functools.partial(_fused_parts_bwd_kernel, npad=npad, max_parts=P,
-                          diagonal=diagonal),
+        kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, ),
@@ -610,7 +782,7 @@ def _fused_parts_bwd_pallas(x48, y48, d1, d2, w1, w2, g1, g2, n_parts,
                 pl.BlockSpec((1, P, 48, npad), lambda b, nref: (b, 0, 0, 0)),
             ] + [
                 pl.BlockSpec((1, P, 8, npad), lambda b, nref: (b, 0, 0, 0))
-            ] * 6,
+            ] * 4,
             out_specs=[
                 pl.BlockSpec((1, P, 8, npad), lambda b, nref: (b, 0, 0, 0)),
                 pl.BlockSpec((1, P, 8, npad), lambda b, nref: (b, 0, 0, 0)),
@@ -622,7 +794,7 @@ def _fused_parts_bwd_pallas(x48, y48, d1, d2, w1, w2, g1, g2, n_parts,
         ],
         interpret=interpret,
         **kwargs,
-    )(n_parts.astype(jnp.int32), x48, y48, d1, d2, w1, w2, g1, g2)
+    )(prefetch, x48, y48, w1, w2, g1, g2)
     return dx, dy
 
 
@@ -715,13 +887,22 @@ def _make_parts_core(diagonal):
         N = xyz1.shape[2]
         if _use_fused():
             npad = _round_up(N, 128)
-            x48 = _pack_x48(_aug_x(xyz1.astype(jnp.float32), npad))
-            y48 = _pack_y48(_aug_y(xyz2.astype(jnp.float32), npad))
+            # push INVALID parts to the pad coordinate so the grouped
+            # forward needs no in-kernel validity masking (pad distances
+            # are ~1e12 and never win a min against real points)
+            P = xyz1.shape[1]
+            ok = (jnp.arange(P)[None, :] < n_parts[:, None])[..., None, None]
+            x1 = jnp.where(ok, xyz1.astype(jnp.float32), _PAD_VAL)
+            x2 = jnp.where(ok, xyz2.astype(jnp.float32), _PAD_VAL)
+            x48 = _pack_x48(_aug_x(x1, npad))
+            y48 = _pack_y48(_aug_y(x2, npad))
             d1e, d2e, w1e, w2e = _fused_parts_fwd_pallas(
                 x48, y48, n_parts, diagonal=diagonal,
                 interpret=_fused_interpret())
+            # the backward needs only the packs, witness indices and part
+            # counts (exact-witness scatter; no distance recompute)
             return (d1e[:, :, 0, :N], d2e[:, :, 0, :N]), \
-                (x48, y48, d1e, d2e, w1e, w2e, n_parts)
+                (x48, y48, w1e, w2e, n_parts)
         if diagonal:
             # reference path: each part as an independent 1-part shape
             B, P = xyz1.shape[:2]
@@ -742,13 +923,13 @@ def _make_parts_core(diagonal):
         # the dispatch decision is trace-time static, so fwd/bwd agree on
         # the residual structure
         if _use_fused():
-            x48, y48, d1e, d2e, w1e, w2e, n_parts = res
+            x48, y48, w1e, w2e, n_parts = res
             npad = x48.shape[-1]
             N = g1.shape[-1]
             g1e = _row0_embed(g1, npad)
             g2e = _row0_embed(g2, npad)
             dxe, dye = _fused_parts_bwd_pallas(
-                x48, y48, d1e, d2e, w1e, w2e, g1e, g2e, n_parts,
+                x48, y48, w1e, w2e, g1e, g2e, n_parts, N,
                 diagonal=diagonal, interpret=_fused_interpret())
             dx = jnp.swapaxes(dxe[:, :, 0:3, :N], 2, 3)  # [B, P, N, 3]
             dy = jnp.swapaxes(dye[:, :, 0:3, :N], 2, 3)

@@ -125,11 +125,11 @@ def test_fused_chamfer_pairs(rng):
     np.testing.assert_allclose(np.asarray(d1)[2], 0.0)
 
 
-def test_fused_bwd_tie_splitting(rng):
-    """On exact within-part distance ties the fused backward splits the
-    gradient evenly among witnesses (documented deviation from the CUDA
-    first-hit scan; ROADMAP.md).  Total gradient mass must match the
-    single-witness reference."""
+def test_fused_bwd_tie_first_hit(rng):
+    """On exact distance ties the forward records the FIRST witness in
+    scan order (smallest flat index), exactly the CUDA kernel's tie rule
+    (chamfer_kernel.cu:32-95) and the jnp fallback's argmin -- the whole
+    gradient goes to that single witness."""
     B, P, N = 1, 2, 8
     x = np.zeros((B, P, N, 3), np.float32)
     x[0, :, :, 0] = np.arange(N) * 10.0  # spread x points far apart
@@ -147,12 +147,81 @@ def test_fused_bwd_tie_splitting(rng):
 
     gx, gy = jax.grad(loss, (0, 1))(xj, yj)
     gy = np.asarray(gy).reshape(P * N, 3)
-    # even split: each tied witness receives half of d|x-y|^2/dy = 2(y-x)
-    np.testing.assert_allclose(gy[0], [1.0, 0, 0], atol=1e-4)
-    np.testing.assert_allclose(gy[1], [-1.0, 0, 0], atol=1e-4)
-    # x gradient: d|x-y|^2/dx summed over the two tied halves cancels
-    np.testing.assert_allclose(np.asarray(gx)[0, 0, 0], [0.0, 0, 0],
+    # first witness (y point 0) takes the full d|x-y|^2/dy = 2(y-x)
+    np.testing.assert_allclose(gy[0], [2.0, 0, 0], atol=1e-4)
+    np.testing.assert_allclose(gy[1], [0.0, 0, 0], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx)[0, 0, 0], [-2.0, 0, 0],
                                atol=1e-4)
+    # the jnp fallback must agree bit-for-bit on the tie rule
+    C.set_fused_mode('off')
+    gx_r, gy_r = jax.grad(loss, (0, 1))(xj, yj)
+    np.testing.assert_allclose(np.asarray(gy_r).reshape(P * N, 3), gy,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gx_r), np.asarray(gx), atol=1e-6)
+
+
+@pytest.mark.parametrize('nparts', [[3, 7], [10, 2], [6, 10]])
+def test_fused_multigroup_fwd_bwd(rng, nparts):
+    """P=10 -> gy=5 (two y-groups): exercises the grouped forward's
+    partial-last-group handling and the pair-list backward across group
+    boundaries (P<=8 runs single-group)."""
+    B, P, N = 2, 10, 40
+    assert C._pick_gy(P, 128) == 5
+    x, y, valids = _mix(rng, B, P, N, nparts)
+    pv = jnp.repeat(valids, N, axis=1)
+    d1, d2 = C.chamfer_parts(x, y, valids)
+
+    def loss(a, b):
+        da, db = C.chamfer_parts(a, b, valids)
+        return jnp.sum(da * pv) + 0.5 * jnp.sum(db * pv)
+
+    gx_f, gy_f = jax.grad(loss, (0, 1))(x, y)
+    C.set_fused_mode('off')
+    r1, r2 = C.chamfer_parts(x, y, valids)
+    gx_r, gy_r = jax.grad(loss, (0, 1))(x, y)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(r1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(r2), atol=1e-5)
+    scale = float(jnp.max(jnp.abs(gx_r)))
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=2e-3 * scale)
+    np.testing.assert_allclose(np.asarray(gy_f), np.asarray(gy_r),
+                               atol=2e-3 * scale)
+
+
+def test_relevant_pairs_list(rng):
+    """The backward tile list contains exactly the witness-linked
+    (x-part, y-group) tiles, with flat witness indices from the fwd."""
+    B, P, N = 2, 4, 32
+    x, y, valids = _mix(rng, B, P, N, [2, 4])
+    n_parts = jnp.sum(valids.astype(jnp.int32), axis=1)
+    npad = C._round_up(N, 128)
+    gy = C._pick_gy(P, npad)
+    n_groups = P // gy
+    ok = (jnp.arange(P)[None, :] < n_parts[:, None])[..., None, None]
+    x48 = C._pack_x48(C._aug_x(jnp.where(ok, x, C._PAD_VAL), npad))
+    y48 = C._pack_y48(C._aug_y(jnp.where(ok, y, C._PAD_VAL), npad))
+    d1, d2, w1, w2 = C._fused_parts_fwd_pallas(
+        x48, y48, n_parts, interpret=True)
+    plist = np.asarray(C._relevant_pairs(w1, w2, N, P, npad, gy))
+    win1 = np.asarray(w1)[:, :, 0, :N]  # flat idx into y [P*npad]
+    win2 = np.asarray(w2)[:, :, 0, :N]  # flat idx into x [P*npad]
+    for b in range(B):
+        expect = set()
+        for i in range(P):
+            for c in range(n_groups):
+                linked = (win1[b, i] // (npad * gy) == c).any()
+                for j in range(c * gy, (c + 1) * gy):
+                    linked |= (win2[b, j] // npad == i).any()
+                if linked:
+                    expect.add(i * n_groups + c)
+        cnt = plist[b, 0]
+        got = set(plist[b, 1:1 + cnt].tolist())
+        assert got == expect
+        # witness indices at invalid parts are -1 (excluded from the list)
+        n_b = int(n_parts[b])
+        assert (win1[b, n_b:] == -1).all() and (win2[b, n_b:] == -1).all()
+        for pid in got:
+            assert pid // n_groups < n_b
 
 
 def test_fused_dispatch_flag():
