@@ -33,6 +33,7 @@ REF_A100_SPS = 150.0  # ESTIMATE; reference publishes no throughput
 _BF16_PEAK_FLOPS = {  # per chip
     'v4': 275e12,
     'v5e': 197e12, 'v5litepod': 197e12, 'v5 litepod': 197e12,
+    'v5 lite': 197e12,  # device_kind reads "TPU v5 lite"
     'v5p': 459e12,
     'v6e': 918e12, 'trillium': 918e12,
 }
@@ -159,7 +160,13 @@ def bench_one(name, spec, n_iters=20):
     except Exception:
         pass
 
-    # warmup
+    # warmup (incl. every packed-unpack Kpad bucket: compiles + per-shape
+    # transfer setup must not land in the timed window)
+    if getattr(train_loader, 'batch_collate', False):
+        from multi_part_assembly_tpu.datasets.geometry import \
+            warm_unpack_cache
+        warm_unpack_cache(B, cfg.data.max_num_part, cfg.data.num_pc_points,
+                          mesh=mesh)
     for i in range(2):
         batch, _ = _prep_batch(next(stream), cfg, mesh,
                                jax.random.PRNGKey(i), augment=False)

@@ -19,7 +19,8 @@ __all__ = ['DataLoader']
 
 class DataLoader:
     def __init__(self, dataset, batch_size, shuffle=False, drop_last=False,
-                 num_workers=4, seed=0, prefetch=2, shard_by_process=True):
+                 num_workers=4, seed=0, prefetch=2, shard_by_process=True,
+                 batch_collate=False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -28,6 +29,13 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.epoch = 0
+        # batch_collate: hand whole index batches to dataset.collate_batch
+        # (one GIL-released native call, packed output) instead of per-item
+        # __getitem__ + stack.  Callers enable it only when a single local
+        # device consumes the whole batch (packed arrays have no batch axis
+        # to shard across devices).
+        self.batch_collate = bool(batch_collate) and \
+            hasattr(dataset, 'collate_batch')
         if shard_by_process and jax.process_count() > 1:
             self._shard_id = jax.process_index()
             self._num_shards = jax.process_count()
@@ -86,10 +94,14 @@ class DataLoader:
                     if stop.is_set():
                         return
                     try:
-                        fetch = pool.map if pool else map
-                        items = list(fetch(
-                            lambda i: self.dataset[int(i)], b))
-                        q.put(self._collate(items))
+                        if self.batch_collate:
+                            q.put(self.dataset.collate_batch(
+                                [int(i) for i in b]))
+                        else:
+                            fetch = pool.map if pool else map
+                            items = list(fetch(
+                                lambda i: self.dataset[int(i)], b))
+                            q.put(self._collate(items))
                     except Exception as e:  # surface errors to the consumer
                         q.put(e)
                         return

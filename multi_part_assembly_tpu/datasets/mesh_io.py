@@ -153,13 +153,18 @@ class MeshSampler:
         return sample_surface_numpy(verts, faces, n_points,
                                     np.random.default_rng(seed))
 
-    def sample_batch(self, paths, n_points, seeds):
+    def sample_batch(self, paths, n_points, seeds, out=None):
         """Sample many cached meshes -> [len(paths), n_points, 3] float32.
 
         Native path is multithreaded in C++ with the GIL released.
+        `out` (optional) must be a C-contiguous f32 [len(paths), N, 3]
+        view to write into (saves a copy for batch-packed collation).
         """
         n = len(paths)
-        out = np.empty((n, n_points, 3), np.float32)
+        if out is None:
+            out = np.empty((n, n_points, 3), np.float32)
+        assert out.flags['C_CONTIGUOUS'] and out.dtype == np.float32 \
+            and out.shape == (n, n_points, 3)
         if self._lib is not None:
             handles = np.asarray([self._handles[self.load(p)] for p in paths],
                                  np.int64)

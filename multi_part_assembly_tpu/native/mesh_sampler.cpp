@@ -35,6 +35,12 @@ struct Mesh {
   std::vector<int32_t> faces;   // 3 * n_faces
   std::vector<double> cum_area; // cumulative triangle areas (for sampling)
   double total_area = 0.0;
+  // Walker alias table over triangle areas: O(1) face draws instead of a
+  // per-point binary search over cum_area (the sampler is the host input
+  // pipeline's hot loop; this container has 1 CPU so per-draw cost is
+  // throughput)
+  std::vector<double> alias_prob;    // acceptance threshold per bucket
+  std::vector<int32_t> alias_index;  // alias face per bucket
 };
 
 // --- PCG32: tiny, fast, reproducible RNG ---
@@ -116,6 +122,31 @@ void build_areas(Mesh *mesh) {
     mesh->cum_area[f] = acc;
   }
   mesh->total_area = acc;
+
+  // Walker/Vose alias table over normalized areas
+  mesh->alias_prob.assign(nf, 1.0);
+  mesh->alias_index.resize(nf);
+  std::vector<double> scaled(nf);
+  double prev = 0.0;
+  for (size_t f = 0; f < nf; ++f) {
+    scaled[f] = (mesh->cum_area[f] - prev) / acc * static_cast<double>(nf);
+    prev = mesh->cum_area[f];
+    mesh->alias_index[f] = static_cast<int32_t>(f);
+  }
+  std::vector<int32_t> small, large;
+  small.reserve(nf);
+  large.reserve(nf);
+  for (size_t f = 0; f < nf; ++f)
+    (scaled[f] < 1.0 ? small : large).push_back(static_cast<int32_t>(f));
+  while (!small.empty() && !large.empty()) {
+    int32_t s = small.back(); small.pop_back();
+    int32_t l = large.back(); large.pop_back();
+    mesh->alias_prob[s] = scaled[s];
+    mesh->alias_index[s] = l;
+    scaled[l] -= 1.0 - scaled[s];
+    (scaled[l] < 1.0 ? small : large).push_back(l);
+  }
+  // leftovers (fp residue) keep prob 1.0 / self alias
 }
 
 void sample_mesh(const Mesh &mesh, int n_points, uint64_t seed, float *out) {
@@ -123,13 +154,12 @@ void sample_mesh(const Mesh &mesh, int n_points, uint64_t seed, float *out) {
   size_t nf = mesh.cum_area.size();
   const float *v = mesh.verts.data();
   for (int i = 0; i < n_points; ++i) {
-    double r = rng.uniform() * mesh.total_area;
-    // binary search the cumulative area table
-    size_t lo = 0, hi = nf - 1;
-    while (lo < hi) {
-      size_t mid = (lo + hi) / 2;
-      if (mesh.cum_area[mid] < r) lo = mid + 1; else hi = mid;
-    }
+    // O(1) area-weighted face draw via the alias table
+    double rf = rng.uniform() * static_cast<double>(nf);
+    size_t lo = static_cast<size_t>(rf);
+    if (lo >= nf) lo = nf - 1;
+    if (rf - static_cast<double>(lo) >= mesh.alias_prob[lo])
+      lo = static_cast<size_t>(mesh.alias_index[lo]);
     int32_t a = mesh.faces[3 * lo], b = mesh.faces[3 * lo + 1],
             c = mesh.faces[3 * lo + 2];
     // uniform barycentric (sqrt trick)

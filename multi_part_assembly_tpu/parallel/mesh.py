@@ -18,7 +18,9 @@ from ..train.core import mon_loss
 
 def _maybe_augment(batch, key, cfg):
     """Geometry batches may arrive raw ('part_pcs_raw'); augmentation then
-    runs inside the compiled step (no extra dispatch / HBM round trip)."""
+    runs inside the compiled step (no extra dispatch / HBM round trip).
+    Packed batches are unpacked to 'part_pcs_raw' by `_prep_batch` BEFORE
+    the step so the step's shapes stay fixed across Kpad buckets."""
     if 'part_pcs_raw' not in batch:
         return batch
     from ..datasets.geometry import augment_geometry_batch

@@ -18,6 +18,7 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 from ..datasets import augment_geometry_batch, build_dataloader
+from ..datasets.geometry import unpack_parts
 from ..models import build_model
 from ..parallel.mesh import (make_eval_step, make_mesh, make_train_step,
                              shard_batch)
@@ -67,16 +68,25 @@ def _prep_batch(batch, cfg, mesh, rng, augment=True):
     """
     batch = {k: np.asarray(v) for k, v in batch.items()
              if k not in _DROP_KEYS}
-    real_bs = next(iter(batch.values())).shape[0]
+    real_bs = batch['part_valids'].shape[0]
     n_data = mesh.shape['data']
     padded = -(-real_bs // n_data) * n_data
     if padded != real_bs:
         batch = {
             k: np.concatenate(
                 [v] + [v[-1:]] * (padded - real_bs), axis=0)
+            if k != 'part_pcs_packed' else v  # packed rows have no B axis
             for k, v in batch.items()
         }
     batch = shard_batch(batch, mesh)
+    if 'part_pcs_packed' in batch:
+        # eager unpack: its own tiny jitted gather, so only IT recompiles
+        # across Kpad buckets -- the (AOT-compilable) train/eval steps
+        # always see the fixed [B, P, N, 3] contract
+        batch['part_pcs_raw'] = unpack_parts(
+            batch['part_pcs_packed'], batch['pack_index'],
+            batch['part_valids'])
+        del batch['part_pcs_packed'], batch['pack_index']
     if augment and 'part_pcs_raw' in batch:
         aug = augment_geometry_batch(
             batch['part_pcs_raw'], batch['part_valids'], rng,
@@ -95,6 +105,11 @@ class Trainer:
         self.model = build_model(cfg)
         self.train_loader, self.val_loader = build_dataloader(cfg)
         steps_per_epoch = max(1, len(self.train_loader))
+        if getattr(self.train_loader, 'batch_collate', False):
+            from ..datasets.geometry import warm_unpack_cache
+            for bs in {cfg.exp.batch_size, cfg.exp.batch_size * 2}:
+                warm_unpack_cache(bs, cfg.data.max_num_part,
+                                  cfg.data.num_pc_points, mesh=self.mesh)
 
         # init from one sample batch
         rng = jax.random.PRNGKey(cfg.exp.get('seed', 0))
