@@ -6,6 +6,7 @@ part_ids, geo_part_ids, sym, bbox`), pads everything to max_num_part, and
 derives instance/match/contact labels exactly as the reference does.
 """
 
+import collections
 import os
 
 import numpy as np
@@ -16,7 +17,7 @@ __all__ = ['PartNetPartDataset', 'build_partnet_dataloader']
 class PartNetPartDataset:
     def __init__(self, data_dir, data_fn, data_keys, num_part_category=20,
                  min_num_part=2, max_num_part=20, shuffle_parts=False,
-                 overfit=-1, level=3):
+                 overfit=-1, level=3, cache_items=2048):
         self.data_dir = data_dir
         self.data_fn = data_fn
         self.num_part_category = num_part_category
@@ -25,6 +26,11 @@ class PartNetPartDataset:
         self.shuffle_parts = shuffle_parts
         self.level = level  # fixed in the paper (partnet_data.py:32)
         self.data_keys = tuple(data_keys)
+        # LRU over raw npy dicts: the reference re-reads + unpickles every
+        # shape every epoch (partnet_data.py:66); ~240KB/shape, so 2048
+        # items is ~0.5GB for the level-3 sets
+        self._cache_items = cache_items
+        self._raw_cache = collections.OrderedDict()
         self.shape_ids = self._read_data(data_fn)
         if overfit > 0:
             self.shape_ids = self.shape_ids[:overfit]
@@ -58,10 +64,20 @@ class PartNetPartDataset:
     def __len__(self):
         return len(self.shape_ids)
 
+    def _load_raw(self, shape_id):
+        cached = self._raw_cache.get(shape_id)
+        if cached is not None:
+            self._raw_cache.move_to_end(shape_id)
+            return cached
+        data = np.load(self._shape_path(shape_id), allow_pickle=True).item()
+        self._raw_cache[shape_id] = data
+        while len(self._raw_cache) > self._cache_items:
+            self._raw_cache.popitem(last=False)
+        return data
+
     def __getitem__(self, index):
         shape_id = self.shape_ids[index]
-        cur_data = np.load(self._shape_path(shape_id),
-                           allow_pickle=True).item()
+        cur_data = self._load_raw(shape_id)
         num_parts = cur_data['part_pcs'].shape[0]
         assert self.min_num_part <= num_parts <= self.max_num_part
 

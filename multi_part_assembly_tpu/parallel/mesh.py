@@ -83,11 +83,16 @@ def replicated(mesh):
 
 
 def shard_batch(batch, mesh):
-    """Place a host batch onto the mesh, sharded along the batch axis."""
+    """Place a host batch onto the mesh, sharded along the batch axis.
+
+    One pytree-level device_put (not one per leaf): each device_put call
+    pays a dispatch round trip through the runtime, ~0.5ms x n_keys of
+    pure overhead on the host loop."""
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sh) if hasattr(x, 'ndim') and x.ndim > 0
-        else x, batch)
+    arrays = {k: v for k, v in batch.items()
+              if hasattr(v, 'ndim') and v.ndim > 0}
+    moved = jax.device_put(arrays, sh)
+    return {**batch, **moved}
 
 
 def make_train_step(model, tx, cfg, mesh=None, donate=True):
