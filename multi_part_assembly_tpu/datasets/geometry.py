@@ -157,9 +157,11 @@ class GeometryPartDataset:
 
     def collate_batch(self, indices):
         """Collate a whole batch with ONE native sampling call and a packed
-        point layout: `part_pcs_packed [Kpad, N, 3]` holds only the valid
-        parts (row k), `pack_index [B, P]` maps each (sample, part) slot to
-        its packed row (0 for invalid slots, masked by part_valids).
+        point layout: `part_pcs_raw__packed [Kpad, N, 3]` holds only the
+        valid parts (row k), `pack_index [B, P]` maps each (sample, part)
+        slot to its packed row (0 for invalid slots, masked by
+        part_valids).  The `__packed` suffix tells `_prep_batch` which key
+        to unpack into.
 
         vs per-item __getitem__ + stack: no [P, N, 3] zero-padding per item,
         one GIL-released C++ call for every part in the batch, and ~3x
@@ -191,7 +193,7 @@ class GeometryPartDataset:
         valids[mask] = 1.0
 
         batch = {
-            'part_pcs_packed': packed,
+            'part_pcs_raw__packed': packed,
             'pack_index': pack_index,
             'part_valids': valids,
             'data_id': np.asarray(indices, np.int64),

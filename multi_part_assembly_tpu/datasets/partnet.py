@@ -31,6 +31,7 @@ class PartNetPartDataset:
         # items is ~0.5GB for the level-3 sets
         self._cache_items = cache_items
         self._raw_cache = collections.OrderedDict()
+        self._item_cache = collections.OrderedDict()  # derived (no pcs)
         self.shape_ids = self._read_data(data_fn)
         if overfit > 0:
             self.shape_ids = self.shape_ids[:overfit]
@@ -75,7 +76,32 @@ class PartNetPartDataset:
             self._raw_cache.popitem(last=False)
         return data
 
+    def _load_contacts(self, shape_id):
+        """Cached contact-point pair matrix (the reference re-reads the
+        side file every epoch, partnet_data.py:210-214)."""
+        key = ('contacts', shape_id)
+        cached = self._raw_cache.get(key)
+        if cached is not None:
+            self._raw_cache.move_to_end(key)
+            return cached
+        fn = os.path.join(
+            self.data_dir, 'contact_points',
+            f'pairs_with_contact_points_{shape_id}_level{self.level}.npy')
+        data = np.load(fn, allow_pickle=True)
+        self._raw_cache[key] = data
+        while len(self._raw_cache) > self._cache_items:
+            self._raw_cache.popitem(last=False)
+        return data
+
     def __getitem__(self, index):
+        return self._item(index)[0]
+
+    def _item(self, index, include_pcs=True):
+        """Build one padded item dict; returns (dict, shuffled raw data,
+        num_parts) so `collate_batch` can pack the point clouds without a
+        second shuffle draw.  Without part shuffling the derived labels
+        are deterministic, so they come from an LRU (instance numbering
+        depends on the draw, so the shuffled path always re-derives)."""
         shape_id = self.shape_ids[index]
         cur_data = self._load_raw(shape_id)
         num_parts = cur_data['part_pcs'].shape[0]
@@ -84,9 +110,19 @@ class PartNetPartDataset:
         if self.shuffle_parts:  # kill part-order leakage (partnet_data.py:76)
             idx = np.random.permutation(num_parts)
             cur_data = {k: np.asarray(v)[idx] for k, v in cur_data.items()}
+        else:
+            cached = self._item_cache.get(index)
+            if cached is not None:
+                self._item_cache.move_to_end(index)
+                data_dict = dict(cached)  # shallow copy: callers may add
+                if include_pcs:
+                    data_dict['part_pcs'] = self._pad_data(
+                        cur_data['part_pcs'])
+                return data_dict, cur_data, num_parts
 
         data_dict = {}
-        data_dict['part_pcs'] = self._pad_data(cur_data['part_pcs'])
+        if include_pcs:
+            data_dict['part_pcs'] = self._pad_data(cur_data['part_pcs'])
         cur_pose = self._pad_data(cur_data['part_poses'])  # p x (3 + 4)
         data_dict['part_trans'] = cur_pose[:, :3]
         data_dict['part_quat'] = cur_pose[:, 3:]
@@ -139,11 +175,7 @@ class PartNetPartDataset:
                         index_ += 1
                 data_dict['match_ids'] = out
             elif key == 'contact_points':
-                fn = os.path.join(
-                    self.data_dir, 'contact_points',
-                    f'pairs_with_contact_points_{shape_id}_'
-                    f'level{self.level}.npy')
-                cur_contacts = np.load(fn, allow_pickle=True)
+                cur_contacts = self._load_contacts(shape_id)
                 out = np.zeros(
                     (self.max_num_part, self.max_num_part, 4), np.float32)
                 out[:num_parts, :num_parts] = cur_contacts
@@ -157,7 +189,46 @@ class PartNetPartDataset:
                 data_dict['valid_matrix'] = vm
             else:
                 raise ValueError(f'ERROR: unknown data {key}')
-        return data_dict
+
+        if not self.shuffle_parts:
+            small = {k: v for k, v in data_dict.items() if k != 'part_pcs'}
+            self._item_cache[index] = small
+            while len(self._item_cache) > self._cache_items:
+                self._item_cache.popitem(last=False)
+        return data_dict, cur_data, num_parts
+
+    def collate_batch(self, indices):
+        """Batch-level collation with the point clouds packed (valid parts
+        only): `part_pcs__packed [Kpad, N, 3]` + `pack_index [B, P]`,
+        unpacked to the dense 'part_pcs' by a device-side selection matmul
+        in `_prep_batch`.  Skips the per-item [P, N, 3] zero-padding and
+        the 7.5MB np.stack, and cuts host->device bytes by the invalid
+        fraction of the part axis.  Enabled by the loader only on
+        single-local-device processes (see DataLoader.batch_collate)."""
+        from .geometry import GeometryPartDataset
+        from .loader import DataLoader
+        dicts, pcs_list = [], []
+        for index in indices:
+            d, cur_data, _ = self._item(index, include_pcs=False)
+            dicts.append(d)
+            pcs_list.append(np.asarray(cur_data['part_pcs'], np.float32))
+        batch = DataLoader._collate(dicts)
+
+        B, P = len(indices), self.max_num_part
+        counts = np.asarray([p.shape[0] for p in pcs_list], np.int64)
+        N = pcs_list[0].shape[1]
+        K = int(counts.sum())
+        kpad = GeometryPartDataset._kpad(K, B * P)
+        packed = np.zeros((kpad, N, 3), np.float32)
+        np.concatenate(pcs_list, axis=0, out=packed[:K])
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        row = np.arange(P)[None, :]
+        mask = row < counts[:, None]
+        pack_index = np.zeros((B, P), np.int32)
+        pack_index[mask] = (offsets[:, None] + row)[mask]
+        batch['part_pcs__packed'] = packed
+        batch['pack_index'] = pack_index
+        return batch
 
 
 def build_partnet_dataloader(cfg):
@@ -176,10 +247,14 @@ def build_partnet_dataloader(cfg):
         shuffle_parts=cfg.data.shuffle_parts, **common)
     val_set = PartNetPartDataset(
         data_fn=cfg.data.data_fn.format('val'), shuffle_parts=False, **common)
+    import jax
+    packed = jax.local_device_count() == 1  # see geometry.py rationale
     train_loader = DataLoader(
         train_set, batch_size=cfg.exp.batch_size, shuffle=True,
-        drop_last=True, num_workers=cfg.exp.num_workers)
+        drop_last=True, num_workers=cfg.exp.num_workers,
+        batch_collate=packed)
     val_loader = DataLoader(
         val_set, batch_size=cfg.exp.batch_size * 2, shuffle=False,
-        drop_last=False, num_workers=cfg.exp.num_workers)
+        drop_last=False, num_workers=cfg.exp.num_workers,
+        batch_collate=packed)
     return train_loader, val_loader

@@ -75,18 +75,20 @@ def _prep_batch(batch, cfg, mesh, rng, augment=True):
         batch = {
             k: np.concatenate(
                 [v] + [v[-1:]] * (padded - real_bs), axis=0)
-            if k != 'part_pcs_packed' else v  # packed rows have no B axis
+            if not k.endswith('__packed') else v  # packed rows: no B axis
             for k, v in batch.items()
         }
     batch = shard_batch(batch, mesh)
-    if 'part_pcs_packed' in batch:
-        # eager unpack: its own tiny jitted gather, so only IT recompiles
-        # across Kpad buckets -- the (AOT-compilable) train/eval steps
-        # always see the fixed [B, P, N, 3] contract
-        batch['part_pcs_raw'] = unpack_parts(
-            batch['part_pcs_packed'], batch['pack_index'],
-            batch['part_valids'])
-        del batch['part_pcs_packed'], batch['pack_index']
+    packed_keys = [k for k in batch if k.endswith('__packed')]
+    if packed_keys:
+        # eager unpack: its own small jitted selection matmul, so only IT
+        # recompiles across Kpad buckets -- the (AOT-compilable)
+        # train/eval steps always see the fixed [B, P, N, 3] contract
+        idx = batch.pop('pack_index')
+        for k in packed_keys:
+            batch[k[:-len('__packed')]] = unpack_parts(
+                batch[k], idx, batch['part_valids'])
+            del batch[k]
     if augment and 'part_pcs_raw' in batch:
         aug = augment_geometry_batch(
             batch['part_pcs_raw'], batch['part_valids'], rng,

@@ -140,10 +140,10 @@ def test_packed_collate_matches_items(bb_tree):
         min_num_part=2, max_num_part=8)
     idx = [0, 2]
     batch = ds.collate_batch(idx)
-    assert batch['part_pcs_packed'].shape[1:] == (32, 3)
+    assert batch['part_pcs_raw__packed'].shape[1:] == (32, 3)
     assert batch['pack_index'].shape == (2, 8)
     unpacked = np.asarray(unpack_parts(
-        jnp.asarray(batch['part_pcs_packed']),
+        jnp.asarray(batch['part_pcs_raw__packed']),
         jnp.asarray(batch['pack_index']),
         jnp.asarray(batch['part_valids'])))
     for row, i in enumerate(idx):
@@ -157,7 +157,7 @@ def test_packed_collate_matches_items(bb_tree):
         np.testing.assert_array_equal(batch['valid_matrix'][row],
                                       item['valid_matrix'])
     # Kpad bucketing: dense 16 -> smallest of {2, 4, 8, 16} that fits
-    assert batch['part_pcs_packed'].shape[0] == \
+    assert batch['part_pcs_raw__packed'].shape[0] == \
         GeometryPartDataset._kpad(
             int(batch['part_valids'].sum()), 2 * 8)
 
@@ -169,7 +169,7 @@ def test_loader_batch_collate(bb_tree):
     loader = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False,
                         batch_collate=True)
     batches = list(loader)
-    assert all('part_pcs_packed' in b for b in batches)
+    assert all('part_pcs_raw__packed' in b for b in batches)
     assert sum(b['part_valids'].shape[0] for b in batches) == 3
     # loader without the flag keeps the per-item contract
     loader2 = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False)
@@ -274,3 +274,29 @@ def test_partnet_dataset(partnet_tree):
     assert item['instance_label'][1, 1] == 1
     assert item['instance_label'][2, 0] == 1
     assert item['contact_points'].shape == (5, 5, 4)
+
+
+def test_partnet_packed_collate(partnet_tree):
+    """PartNet collate_batch packs part_pcs; everything else matches the
+    per-item path exactly (shuffle off so draws align)."""
+    import jax.numpy as jnp
+
+    from multi_part_assembly_tpu.datasets.geometry import unpack_parts
+
+    ds = PartNetPartDataset(
+        data_dir=partnet_tree, data_fn='Chair.train.npy',
+        data_keys=('part_ids', 'match_ids', 'contact_points',
+                   'valid_matrix'),
+        num_part_category=20, min_num_part=2, max_num_part=5)
+    batch = ds.collate_batch([0, 1])
+    assert 'part_pcs__packed' in batch and 'part_pcs' not in batch
+    unpacked = np.asarray(unpack_parts(
+        jnp.asarray(batch['part_pcs__packed']),
+        jnp.asarray(batch['pack_index']),
+        jnp.asarray(batch['part_valids'])))
+    for row, i in enumerate([0, 1]):
+        item = ds[i]
+        np.testing.assert_allclose(unpacked[row], item['part_pcs'], atol=0)
+        for k in ('part_trans', 'part_quat', 'part_valids', 'match_ids',
+                  'instance_label', 'contact_points', 'valid_matrix'):
+            np.testing.assert_array_equal(batch[k][row], item[k])
