@@ -633,15 +633,17 @@ def _fused_parts_bwd_kernel(plist_ref, x_ref, y_ref, w1_ref, w2_ref,
         c = pid - i * n_groups
         w1 = w1_ref[0, i, 0, :]  # [Nx] flat witness index into y
         g1 = g1_ref[0, i, 0, :]
+        # [1, gy*Npad] lane concats (Mosaic implements 2-D lane-axis
+        # concatenation; 1-D vector concat past the first tile does not
+        # lower -- "Input offsets outside of the first tile")
         w2cat = jnp.concatenate(
-            [w2_ref[0, c * gy + r, 0, :] for r in range(gy)], axis=0)
+            [w2_ref[0, c * gy + r, 0:1, :] for r in range(gy)], axis=1)
         g2cat = jnp.concatenate(
-            [g2_ref[0, c * gy + r, 0, :] for r in range(gy)], axis=0)
+            [g2_ref[0, c * gy + r, 0:1, :] for r in range(gy)], axis=1)
         base = c * gy * npad
         W = (gcol + base == w1[:, None]).astype(jnp.float32) * \
             g1[:, None] + \
-            (grow + i * npad == w2cat[None, :]).astype(jnp.float32) * \
-            g2cat[None, :]
+            (grow + i * npad == w2cat).astype(jnp.float32) * g2cat
         xc = _recon_x(x_ref[0, i])
         yc = jnp.concatenate(
             [_recon_y(y_ref[0, c * gy + r]) for r in range(gy)],

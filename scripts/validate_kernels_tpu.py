@@ -68,6 +68,45 @@ def main():
     print(f'diag forward max err: {derr:.2e}')
     assert derr < 1e-4
 
+    # multi-group forward/backward (P=10 -> gy=5, two y-groups: exercises
+    # the grouped tiles + pair-list backward across group boundaries on
+    # real Mosaic lowering, not just interpret mode)
+    B, P, N = 2, 10, 256
+    xg = jnp.asarray(rng.randn(B, P, N, 3).astype(np.float32))
+    yg = jnp.asarray(rng.randn(B, P, N, 3).astype(np.float32))
+    npg = np.array([7, 10])
+    vg = jnp.asarray((np.arange(P)[None] < npg[:, None]).astype(np.float32))
+    pvg = jnp.repeat(vg, N, 1)
+    gd1, gd2 = jax.jit(lambda a, b: C.chamfer_parts(a, b, vg))(xg, yg)
+    agf = jnp.where(pvg[..., None] > 0, xg.reshape(B, P * N, 3), 1e3)
+    bgf = jnp.where(pvg[..., None] > 0, yg.reshape(B, P * N, 3), 1e3)
+    rgd = C._pairwise_sqdist(agf, bgf)
+    gerr1 = float(jnp.max(jnp.abs(
+        (gd1.reshape(B, P * N) - jnp.min(rgd, 2)) * pvg)))
+    gerr2 = float(jnp.max(jnp.abs(
+        (gd2.reshape(B, P * N) - jnp.min(rgd, 1)) * pvg)))
+    print(f'multigroup fwd max err: {max(gerr1, gerr2):.2e}')
+    assert max(gerr1, gerr2) < 1e-4
+
+    def loss_g(a, b):
+        da, db = C.chamfer_parts(a, b, vg)  # [B, P*N] each
+        return jnp.sum(da * pvg) + 0.5 * jnp.sum(db * pvg)
+
+    def loss_g_ref(a, b):
+        af = jnp.where(pvg[..., None] > 0, a.reshape(B, P * N, 3), 1e3)
+        bf = jnp.where(pvg[..., None] > 0, b.reshape(B, P * N, 3), 1e3)
+        d = C._pairwise_sqdist(af, bf)
+        return jnp.sum(jnp.min(d, 2) * pvg) + 0.5 * jnp.sum(
+            jnp.min(d, 1) * pvg)
+
+    gga = jax.jit(jax.grad(loss_g, argnums=(0, 1)))(xg, yg)
+    ggr = jax.jit(jax.grad(loss_g_ref, argnums=(0, 1)))(xg, yg)
+    gscale = float(jnp.max(jnp.abs(ggr[0])))
+    ggerr = max(float(jnp.max(jnp.abs(gga[0] - ggr[0]))),
+                float(jnp.max(jnp.abs(gga[1] - ggr[1])))) / gscale
+    print(f'multigroup grad max rel err: {ggerr:.2e}')
+    assert ggerr < 0.02
+
     # quick perf
     B, P, N = 32, 20, 1000
     offs = (rng.randn(B, P, 1, 3) * 0.3).astype(np.float32)
