@@ -10,6 +10,7 @@ over the [B, P, P] equality matrix -- fully traced, no host sync.
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..utils.precision import compute_dtype as _global_compute_dtype
 from .base import extract_part_feats, zero_pose
 from .modules.encoders import build_encoder
 from .modules.norm import MaskedBatchNorm
@@ -21,17 +22,21 @@ __all__ = ['DGLModel', 'RelationNet', 'PoseEncoder', 'EdgeMLP', 'NodeMLP',
 
 class EdgeMLP(nn.Module):
     """MLP3: pairwise-concat -> 512 -> 512 -> F with BN
-    (reference dgl/modules.py:5-31)."""
+    (reference dgl/modules.py:5-31).  The P x P pair matmuls are the
+    model's FLOP bulk and ride the global bf16 switch (the reference
+    trains under fp16 AMP); BN stats stay f32."""
 
     feat_dim: int
 
     @nn.compact
     def __call__(self, x, train=True):
+        cdt = _global_compute_dtype()
+        x = x.astype(cdt)
         for i, d in enumerate((512, 512, self.feat_dim)):
-            x = nn.Dense(d, name=f'conv{i + 1}')(x)
+            x = nn.Dense(d, dtype=cdt, name=f'conv{i + 1}')(x)
             x = MaskedBatchNorm(name=f'bn{i + 1}')(x, None, train)
             x = nn.relu(x)
-        return x
+        return x.astype(jnp.float32)
 
 
 class NodeMLP(nn.Module):
@@ -43,12 +48,14 @@ class NodeMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=True):
+        cdt = _global_compute_dtype()
+        x = x.astype(cdt)
         for i, d in enumerate((512, 512, self.feat_dim)):
-            x = nn.Dense(d, name=f'conv{i + 1}')(x)
+            x = nn.Dense(d, dtype=cdt, name=f'conv{i + 1}')(x)
             x = MaskedBatchNorm(name=f'bn{i + 1}')(x, None, train)
             if i < 2 or self.final_relu:
                 x = nn.relu(x)
-        return x
+        return x.astype(jnp.float32)
 
 
 class RelationNet(nn.Module):
@@ -57,9 +64,12 @@ class RelationNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(nn.Dense(256, name='mlp1')(x))
-        x = nn.relu(nn.Dense(512, name='mlp2')(x))
-        return nn.sigmoid(nn.Dense(1, name='mlp3')(x))
+        cdt = _global_compute_dtype()
+        x = x.astype(cdt)
+        x = nn.relu(nn.Dense(256, dtype=cdt, name='mlp1')(x))
+        x = nn.relu(nn.Dense(512, dtype=cdt, name='mlp2')(x))
+        return nn.sigmoid(
+            nn.Dense(1, dtype=cdt, name='mlp3')(x).astype(jnp.float32))
 
 
 class PoseEncoder(nn.Module):
@@ -67,8 +77,11 @@ class PoseEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(nn.Dense(256, name='mlp1')(x))
-        return nn.relu(nn.Dense(128, name='mlp2')(x))
+        cdt = _global_compute_dtype()
+        x = x.astype(cdt)
+        x = nn.relu(nn.Dense(256, dtype=cdt, name='mlp1')(x))
+        return nn.relu(
+            nn.Dense(128, dtype=cdt, name='mlp2')(x)).astype(jnp.float32)
 
 
 def merge_equiv_nodes(feats, part_ids, valids):
