@@ -148,12 +148,10 @@ class GeometryPartDataset:
     @staticmethod
     def _kpad(total_parts, dense):
         """Bucket the packed row count to bound jit shape variants: the
-        smallest of {dense/8, dense/4, dense/2, dense} that fits."""
-        for div in (8, 4, 2, 1):
-            k = -(-dense // div)
-            if total_parts <= k:
-                return k
-        return dense
+        smallest multiple of dense/8 that fits (8 buckets; each bucket is
+        one pre-warmed unpack compile, see warm_unpack_cache)."""
+        step = max(1, -(-dense // 8))
+        return min(dense, -(-max(total_parts, 1) // step) * step)
 
     def collate_batch(self, indices):
         """Collate a whole batch with ONE native sampling call and a packed
@@ -226,9 +224,10 @@ def warm_unpack_cache(batch_size, max_parts, n_points, mesh=None):
         device=jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec('data')))
     dense = batch_size * max_parts
+    step = max(1, -(-dense // 8))
     seen = set()
-    for div in (8, 4, 2, 1):
-        k = -(-dense // div)
+    for mult in range(1, 9):
+        k = min(dense, step * mult)
         if k in seen:
             continue
         seen.add(k)
