@@ -107,6 +107,68 @@ def test_train_step_on_mesh(rng, model_name, sample_iter, semantic):
         assert np.isfinite(np.asarray(v)).all(), k
 
 
+def test_dp_step_matches_single_device(rng):
+    """Data parallelism is semantically invisible: loss, gradients and
+    sync-BN statistics over the 8-device mesh equal the same global batch
+    on a 1-device mesh (the XLA partitioner's cross-device mean must equal
+    the serial reduction).
+
+    Gradients are compared in EVAL mode (tight, ~1e-6): train-mode BN
+    batch statistics route gradients through sums of ~1e5 cancelling
+    terms, whose serial-vs-tree f32 reduction order alone shifts elements
+    by ~1e-3 (verified on a minimal Dense+BN repro) -- ill-conditioned,
+    not a partitioning property.  Train mode is covered by the tight loss
+    and BN-statistics comparisons.  Runs under f32 compute; bf16 adds
+    one-ULP noise on ~36% of elements."""
+    from multi_part_assembly_tpu.utils.precision import set_compute_dtype
+    cfg = _make_cfg('pn_transformer')
+    batch = _fake_batch(rng)
+    model = build_model(cfg)
+    set_compute_dtype(jnp.float32)
+    try:
+        results = []
+        for devs in (jax.devices()[:1], jax.devices()):
+            mesh = make_mesh(devices=devs, batch_size=8)
+            db = shard_batch(batch, mesh)
+            state, tx, _ = create_train_state(
+                model, cfg, db, jax.random.PRNGKey(0), steps_per_epoch=10)
+
+            def eval_loss(params, db):
+                loss, _, _ = mon_loss(
+                    model, params, state.batch_stats, db,
+                    jax.random.PRNGKey(1), cfg=cfg, training=False)
+                return loss
+
+            grads = jax.jit(jax.grad(eval_loss))(state.params, db)
+
+            def train_loss(params, db):
+                return mon_loss(model, params, state.batch_stats, db,
+                                jax.random.PRNGKey(1), cfg=cfg,
+                                training=True)
+
+            tloss, _, new_stats = jax.jit(train_loss)(state.params, db)
+            results.append((float(tloss), jax.device_get(grads),
+                            jax.device_get(new_stats)))
+    finally:
+        set_compute_dtype(jnp.bfloat16)  # restore the session default
+
+    (l1, g1, s1), (l8, g8, s8) = results
+    # partitioned global-mean train loss == serial one
+    assert abs(l1 - l8) < 1e-5 * max(1.0, abs(l1))
+    # eval-mode gradients: tight elementwise equality
+    gscale = max(float(np.abs(np.asarray(x)).max())
+                 for x in jax.tree_util.tree_leaves(g1))
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5 * gscale)
+    # sync-BN batch statistics (means/vars over the global batch): tight
+    for a, b in zip(jax.tree_util.tree_leaves(s1),
+                    jax.tree_util.tree_leaves(s8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_training_reduces_loss_overfit(rng):
     """Mini overfit smoke (reference's cfg.data.overfit knob analogue)."""
     cfg = _make_cfg('global', 'geometry', sample_iter=1, noise_dim=0)
