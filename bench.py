@@ -53,6 +53,10 @@ BENCH_MODELS = {
                'pn_transformer-32x1-cosine_400e-partnet_chair.py',
         'kind': 'partnet',
     },
+    'lstm_everyday': {  # the sequential (GRU-scan) architecture family
+        'cfg': 'configs/lstm/lstm-32x1-cosine_200e-everyday.py',
+        'kind': 'geometry',
+    },
 }
 PRIMARY = 'pn_transformer_everyday'
 
