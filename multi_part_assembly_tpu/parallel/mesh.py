@@ -10,6 +10,7 @@ changing the step signatures.
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -32,7 +33,8 @@ def _maybe_augment(batch, key, cfg):
     return batch
 
 __all__ = ['make_mesh', 'batch_sharding', 'replicated', 'shard_batch',
-           'make_train_step', 'make_eval_step', 'init_distributed']
+           'make_train_step', 'make_eval_step', 'make_train_step_stacked',
+           'make_eval_step_stacked', 'init_distributed']
 
 
 def init_distributed():
@@ -95,29 +97,43 @@ def shard_batch(batch, mesh):
     return {**batch, **moved}
 
 
-def make_train_step(model, tx, cfg, mesh=None, donate=True):
+def _train_step_body(model, tx, cfg, lr_schedule, state, batch, rng):
+    """One training step (shared by the dict and stacked-log variants)."""
+    rng = jax.random.fold_in(rng, state.step)
+    aug_key, rng = jax.random.split(rng)
+    batch = _maybe_augment(batch, aug_key, cfg)
+
+    def loss_fn(params):
+        loss, log_dict, new_stats = mon_loss(
+            model, params, state.batch_stats, batch, rng, cfg=cfg,
+            training=True)
+        return loss, (log_dict, new_stats)
+
+    grads, (log_dict, new_stats) = jax.grad(
+        loss_fn, has_aux=True)(state.params)
+    new_state = state.apply_gradients(tx, grads, new_stats)
+    if lr_schedule is not None:
+        log_dict = dict(log_dict)
+        log_dict['lr'] = lr_schedule(state.step)
+    return new_state, log_dict
+
+
+def make_train_step(model, tx, cfg, mesh=None, donate=True,
+                    lr_schedule=None):
     """Build the jitted data-parallel train step.
 
     batch sharded on `data`; state replicated; gradient mean over the global
     batch comes out of XLA's partitioner (no explicit psum needed under jit
     + sharding -- the reduction in the loss already spans the global batch).
+
+    With `lr_schedule`, logs include 'lr' computed INSIDE the step: an
+    eager host-side schedule evaluation costs ~40ms/step of tiny remote
+    dispatches through this runtime's tunnel.
     """
 
     def step(state, batch, rng):
-        rng = jax.random.fold_in(rng, state.step)
-        aug_key, rng = jax.random.split(rng)
-        batch = _maybe_augment(batch, aug_key, cfg)
-
-        def loss_fn(params):
-            loss, log_dict, new_stats = mon_loss(
-                model, params, state.batch_stats, batch, rng, cfg=cfg,
-                training=True)
-            return loss, (log_dict, new_stats)
-
-        grads, (log_dict, new_stats) = jax.grad(
-            loss_fn, has_aux=True)(state.params)
-        new_state = state.apply_gradients(tx, grads, new_stats)
-        return new_state, log_dict
+        return _train_step_body(model, tx, cfg, lr_schedule, state, batch,
+                                rng)
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0, ) if donate else ())
@@ -150,3 +166,60 @@ def make_eval_step(model, cfg, mesh=None):
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
     return jax.jit(step, in_shardings=(rep, bsh, rep), out_shardings=rep)
+
+
+def _stack_dict(log_dict, log_keys):
+    """Sorted-key stack of a log dict into ONE f32 array, recording the
+    key order into `log_keys` at trace time.  Fetching N separate log
+    buffers through the remote runtime pays a synchronous round trip PER
+    BUFFER (~12ms each, measured); a stacked fetch pays one."""
+    keys = sorted(log_dict)
+    if not log_keys:
+        log_keys.extend(keys)  # runs at trace time
+    return jnp.stack([jnp.asarray(log_dict[k], jnp.float32) for k in keys])
+
+
+def make_train_step_stacked(model, tx, cfg, mesh=None, donate=True,
+                            lr_schedule=None):
+    """Trainer-facing make_train_step: returns (jitted_step, log_keys);
+    the step yields (new_state, stacked_logs [M]) -- see `_stack_dict`.
+    log_keys fills on the first call."""
+    log_keys = []
+
+    def step(state, batch, rng):
+        new_state, log_dict = _train_step_body(
+            model, tx, cfg, lr_schedule, state, batch, rng)
+        return new_state, _stack_dict(log_dict, log_keys)
+
+    if mesh is None:
+        return jax.jit(
+            step, donate_argnums=(0, ) if donate else ()), log_keys
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, bsh, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0, ) if donate else (),
+    ), log_keys
+
+
+def make_eval_step_stacked(model, cfg, mesh=None):
+    """Trainer-facing make_eval_step: returns (jitted_step, log_keys);
+    the step yields stacked per-element logs [M, B]."""
+    log_keys = []
+
+    def step(state, batch, rng):
+        aug_key, rng = jax.random.split(rng)
+        batch = _maybe_augment(batch, aug_key, cfg)
+        _, log_dict, _ = mon_loss(
+            model, state.params, state.batch_stats, batch, rng, cfg=cfg,
+            training=False, reduce=False)
+        return _stack_dict(log_dict, log_keys)
+
+    if mesh is None:
+        return jax.jit(step), log_keys
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(step, in_shardings=(rep, bsh, rep),
+                   out_shardings=rep), log_keys

@@ -14,14 +14,15 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
 from ..datasets import augment_geometry_batch, build_dataloader
 from ..datasets.geometry import unpack_parts
 from ..models import build_model
-from ..parallel.mesh import (make_eval_step, make_mesh, make_train_step,
-                             shard_batch)
+from ..parallel.mesh import (make_eval_step_stacked, make_mesh,
+                             make_train_step_stacked, shard_batch)
 from .state import create_train_state
 
 __all__ = ['Trainer', 'JSONLLogger']
@@ -123,9 +124,14 @@ class Trainer:
             self.model, cfg, init_batch, init_rng,
             steps_per_epoch=steps_per_epoch)
 
-        self.train_step = make_train_step(self.model, self.tx, cfg,
-                                          self.mesh)
-        self.eval_step = make_eval_step(self.model, cfg, self.mesh)
+        # stacked-log step variants: all metrics come back as ONE device
+        # array per step (a per-buffer fetch costs a ~12ms round trip
+        # through the remote runtime)
+        self.train_step, self._train_log_keys = make_train_step_stacked(
+            self.model, self.tx, cfg, self.mesh,
+            lr_schedule=self.lr_schedule)
+        self.eval_step, self._eval_log_keys = make_eval_step_stacked(
+            self.model, cfg, self.mesh)
 
         self.ckp_dir = ckp_dir or cfg.exp.get('ckp_dir', 'checkpoint/')
         os.makedirs(self.ckp_dir, exist_ok=True)
@@ -142,6 +148,8 @@ class Trainer:
             ))
         self.start_epoch = 0
         self.test_results = None
+        self._host_step = 0  # mirrors state.step without device syncs
+        self._log_buf = []   # buffered (log_vec, step, data_time) handles
         if resume:
             self._try_resume()
 
@@ -157,8 +165,9 @@ class Trainer:
             latest, args=ocp.args.StandardRestore(target))
         self.state = restored['state']
         self.start_epoch = int(restored['epoch']) + 1
+        self._host_step = int(self.state.step)
         print(f'resumed from epoch {restored["epoch"]} '
-              f'(step {int(self.state.step)})', flush=True)
+              f'(step {self._host_step})', flush=True)
 
     def save_checkpoint(self, epoch, metrics):
         self.ckpt_mgr.save(
@@ -180,43 +189,71 @@ class Trainer:
         self._data_rng, k = jax.random.split(self._data_rng)
         return k
 
-    def train_epoch(self, epoch):
-        """One epoch, with the host one step behind the device.
+    # steps whose log vectors stay on device before one batched fetch;
+    # EVERY host-side sync through the remote runtime costs a ~100ms
+    # flush (measured: 7 pipelined steps run in 1.5ms/step, but one
+    # blocking fetch per step makes the same loop 150-300ms/step)
+    LOG_FLUSH_STEPS = 32
 
-        Each iteration dispatches the (async) H2D transfer and train step,
-        then materializes the PREVIOUS step's metrics -- so the next
-        batch's host->device copy and the logger's float() sync overlap
-        the current step's compute (double-buffered input pipeline,
-        ROADMAP item 3).  The step counter is tracked host-side to avoid
-        syncing on `state.step` (a device scalar of the in-flight step).
-        """
-        self.train_loader.set_epoch(epoch)
-        step0 = int(self.state.step)
-        t_last = time.perf_counter()
-        pending, last = None, None
+    def _flush_train_logs(self):
+        """Materialize all buffered step-log vectors in ONE stacked fetch
+        and write them to the JSONL logger; returns the last step's log
+        dict (or None if the buffer was empty).
 
-        def flush(p):
-            logs, step_no, t_data = p
-            logs = {k: float(v) for k, v in logs.items()}  # device sync
+        The stack is always LOG_FLUSH_STEPS-ary (padded by repeating the
+        last vector): each distinct arity would compile its own remote
+        executable (~100s through the compile helper), and flush sizes
+        vary at epoch/validation boundaries."""
+        buf = self._log_buf
+        if not buf:
+            return None
+        last = None
+        vecs = [v for v, _, _ in buf]
+        vecs += [vecs[-1]] * (self.LOG_FLUSH_STEPS - len(vecs))
+        mats = np.asarray(jnp.stack(vecs))[:len(buf)]  # one fetch
+        for (v, step_no, t_data), row in zip(buf, mats):
+            logs = dict(zip(self._train_log_keys, row.astype(float)))
             logs['data_time'] = t_data
-            logs['lr'] = float(self.lr_schedule(step_no))
             if jax.process_index() == 0:
                 self.logger.log(
                     {f'train/{k}': v for k, v in logs.items()}, step=step_no)
-            return logs
+            last = logs
+        buf.clear()
+        return last
 
-        for i, batch in enumerate(self.train_loader):
+    def train_epoch(self, epoch):
+        """One epoch of dispatch-only steps; metrics materialize in
+        batches.
+
+        The loop never blocks on the device: steps and H2D transfers
+        pipeline freely, per-step [M] log vectors accumulate as device
+        handles ACROSS epochs, and every LOG_FLUSH_STEPS (and before any
+        validation/checkpoint) ONE stacked fetch materializes them all
+        for the JSONL logger.  Other runtime-tunnel hygiene:
+          - one PRNG key per EPOCH (the step folds in state.step itself);
+          - lr computed inside the jitted step (see make_train_step);
+          - the step counter is tracked host-side across epochs
+            (`self._host_step`): even `int(state.step)` once per epoch
+            costs a full runtime flush.
+        Returns the most recent MATERIALIZED step's logs (None if the
+        buffer hasn't hit the flush threshold yet).
+        """
+        self.train_loader.set_epoch(epoch)
+        epoch_rng = self._next_rng()
+        t_last = time.perf_counter()
+        last = None
+
+        for batch in self.train_loader:
             t_data = time.perf_counter() - t_last
-            rng = self._next_rng()
-            device_batch, _ = _prep_batch(batch, self.cfg, self.mesh, rng,
-                                          augment=False)
-            self.state, logs = self.train_step(self.state, device_batch, rng)
-            if pending is not None:
-                last = flush(pending)
-            pending = (logs, step0 + i + 1, t_data)
+            device_batch, _ = _prep_batch(batch, self.cfg, self.mesh,
+                                          epoch_rng, augment=False)
+            self.state, log_vec = self.train_step(self.state, device_batch,
+                                                  epoch_rng)
+            self._host_step += 1
+            self._log_buf.append((log_vec, self._host_step, t_data))
+            if len(self._log_buf) >= self.LOG_FLUSH_STEPS:
+                last = self._flush_train_logs() or last
             t_last = time.perf_counter()
-        if pending is not None:
-            last = flush(pending)
         return last
 
     def _eval_loop(self, loader, prefix):
@@ -226,29 +263,31 @@ class Trainer:
         sums are all-reduced across hosts (the reference's
         `sync_dist=True`)."""
         sums, weights = {}, 0.0
-        # keep a couple of (async) eval steps in flight so the next batch's
-        # H2D overlaps the current step's compute; bounded so queued device
-        # batches don't pile up in HBM
-        in_flight = []
-
-        def drain(p):
-            nonlocal weights
-            logs, bs = p
-            for k, v in logs.items():
-                sums[k] = sums.get(k, 0.0) + float(
-                    np.asarray(v)[:bs].sum())
-            weights += bs
-
+        # dispatch-only loop: per-batch [M, B] log matrices stay on device
+        # (every host sync costs a ~100ms runtime flush); a periodic
+        # block_until_ready bounds how many queued INPUT batches pile up
+        # in HBM, and everything materializes in one stacked fetch
+        done = []
         for batch in loader:
             rng = self._next_rng()
             device_batch, bs = _prep_batch(batch, self.cfg, self.mesh, rng,
                                            augment=False)
-            in_flight.append((self.eval_step(self.state, device_batch, rng),
-                              bs))
-            if len(in_flight) > 2:
-                drain(in_flight.pop(0))
-        for p in in_flight:
-            drain(p)
+            done.append((self.eval_step(self.state, device_batch, rng), bs))
+            if len(done) % 8 == 0:
+                jax.block_until_ready(done[-1][0])
+        if not done:
+            return {}
+        bss = [bs for _, bs in done]
+        if len(set(bss)) == 1:  # uniform batches stack into one fetch
+            mats = np.asarray(jnp.stack([m for m, _ in done]))  # [K, M, B]
+        else:  # remainder batch: fetch it separately (2 flushes total)
+            mats = list(np.asarray(jnp.stack([m for m, _ in done[:-1]]))) \
+                if len(done) > 1 else []
+            mats.append(np.asarray(done[-1][0]))
+        for (m, bs), mat in zip(done, mats):
+            for k, row in zip(self._eval_log_keys, mat):
+                sums[k] = sums.get(k, 0.0) + float(row[:bs].sum())
+            weights += bs
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
             keys = sorted(sums)
@@ -262,9 +301,10 @@ class Trainer:
                 for k, v in sums.items()}
 
     def validate(self, epoch):
+        self._flush_train_logs()  # keep the JSONL in step order
         metrics = self._eval_loop(self.val_loader, 'val')
         if jax.process_index() == 0:
-            self.logger.log(metrics, step=int(self.state.step),
+            self.logger.log(metrics, step=self._host_step,
                             echo=sorted(metrics))
             n_vis = self.cfg.exp.get('val_sample_vis', 0)
             if n_vis and n_vis > 0:
@@ -304,12 +344,15 @@ class Trainer:
             logs = self.train_epoch(epoch)
             dt = time.perf_counter() - t0
             if jax.process_index() == 0 and logs is not None:
+                # logs are the latest MATERIALIZED step's (the buffer may
+                # span epochs; short epochs print at flush boundaries)
                 print(f'epoch {epoch}: loss={float(logs["loss"]):.6f} '
                       f'({dt:.1f}s)', flush=True)
             if (epoch + 1) % cfg.exp.val_every == 0 or \
                     epoch == cfg.exp.num_epochs - 1:
                 metrics = self.validate(epoch)
                 self.save_checkpoint(epoch, metrics)
+        self._flush_train_logs()
         self.ckpt_mgr.wait_until_finished()
 
     def test(self):
@@ -322,6 +365,7 @@ class Trainer:
         return metrics
 
     def close(self):
+        self._flush_train_logs()
         self.logger.close()
         self.ckpt_mgr.wait_until_finished()
         self.ckpt_mgr.close()
