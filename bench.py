@@ -129,6 +129,21 @@ def bench_one(name, spec, n_iters=20):
     model = build_model(cfg)
     train_loader, _ = build_dataloader(cfg)
 
+    # warm every packed-hop Kpad bucket BEFORE the producer thread starts
+    # (compiles + per-shape transfer setup must not land mid-stream), then
+    # move the device hop into the producer thread so H2D overlaps compute
+    if getattr(train_loader, 'batch_collate', False):
+        import jax.numpy as jnp
+        from multi_part_assembly_tpu.datasets.geometry import \
+            warm_unpack_cache
+        from multi_part_assembly_tpu.train.trainer import install_device_prep
+        warm_unpack_cache(
+            B, cfg.data.max_num_part, cfg.data.num_pc_points, mesh=mesh,
+            data_keys=tuple(cfg.data.data_keys),
+            wire_dtype=jnp.dtype(cfg.data.get('wire_dtype', 'float16')),
+            expand=cfg.data.dataset == 'geometry')
+        install_device_prep(train_loader, cfg, mesh)
+
     def batches():
         """Endless stream through the real loader (fresh resample/epoch)."""
         epoch = 0
@@ -164,13 +179,7 @@ def bench_one(name, spec, n_iters=20):
     except Exception:
         pass
 
-    # warmup (incl. every packed-unpack Kpad bucket: compiles + per-shape
-    # transfer setup must not land in the timed window)
-    if getattr(train_loader, 'batch_collate', False):
-        from multi_part_assembly_tpu.datasets.geometry import \
-            warm_unpack_cache
-        warm_unpack_cache(B, cfg.data.max_num_part, cfg.data.num_pc_points,
-                          mesh=mesh)
+    # warmup
     for i in range(2):
         batch, _ = _prep_batch(next(stream), cfg, mesh,
                                jax.random.PRNGKey(i), augment=False)

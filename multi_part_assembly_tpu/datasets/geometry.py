@@ -31,7 +31,7 @@ from ..utils.transforms import random_quaternions
 from .mesh_io import MeshSampler
 
 __all__ = ['GeometryPartDataset', 'augment_geometry_batch', 'unpack_parts',
-           'build_geometry_dataloader']
+           'expand_geometry_batch', 'build_geometry_dataloader']
 
 
 class GeometryPartDataset:
@@ -47,7 +47,7 @@ class GeometryPartDataset:
     def __init__(self, data_dir, data_fn, data_keys, category='',
                  num_points=1000, min_num_part=2, max_num_part=20,
                  shuffle_parts=False, rot_range=-1, overfit=-1,
-                 sampler=None):
+                 sampler=None, wire_dtype='float16'):
         self.category = category if category.lower() != 'all' else ''
         self.data_dir = data_dir
         self.num_points = num_points
@@ -56,6 +56,12 @@ class GeometryPartDataset:
         self.shuffle_parts = shuffle_parts
         self.rot_range = rot_range
         self.data_keys = tuple(data_keys)
+        # packed-collation wire dtype: float16 halves host->device bytes;
+        # the native sampler rounds on store (identical sample stream) and
+        # the device upcasts to f32 right after unpack.  Coordinate
+        # quantization is <=2.4e-4 at unit scale -- eval-metric parity is
+        # pinned by tests/test_datasets.py::test_f16_wire_metric_parity.
+        self.wire_dtype = np.dtype(wire_dtype)
         self.sampler = sampler or MeshSampler()
         self.data_list = self._read_data(data_fn)
         if overfit > 0:
@@ -154,18 +160,19 @@ class GeometryPartDataset:
         return min(dense, -(-max(total_parts, 1) // step) * step)
 
     def collate_batch(self, indices):
-        """Collate a whole batch with ONE native sampling call and a packed
-        point layout: `part_pcs_raw__packed [Kpad, N, 3]` holds only the
-        valid parts (row k), `pack_index [B, P]` maps each (sample, part)
-        slot to its packed row (0 for invalid slots, masked by
-        part_valids).  The `__packed` suffix tells `_prep_batch` which key
-        to unpack into.
+        """Collate a whole batch with ONE native sampling call and a
+        MINIMAL wire format: `part_pcs_raw__packed [Kpad, N, 3]`
+        (float16 by default, valid parts only) + `part_counts [B] i32`.
+        Everything else the step needs -- part_valids, pack_index,
+        valid_matrix, part_ids, empty labels -- is derived ON DEVICE from
+        `part_counts` by `expand_geometry_batch`, so the host neither
+        computes nor transfers any of it.
 
-        vs per-item __getitem__ + stack: no [P, N, 3] zero-padding per item,
-        one GIL-released C++ call for every part in the batch, and ~3x
-        fewer host->device bytes at typical part counts.  Enabled by the
-        loader only when one device consumes the whole local batch (the
-        packed array has no batch axis to shard).
+        vs per-item __getitem__ + stack: no [P, N, 3] zero-padding per
+        item, one GIL-released C++ call for every part in the batch, and
+        ~6x fewer host->device bytes at typical part counts (packed rows
+        x f16).  Enabled by the loader only when one device consumes the
+        whole local batch (the packed array has no batch axis to shard).
         """
         B, P, N = len(indices), self.max_num_part, self.num_points
         all_paths, seeds, counts = [], [], []
@@ -178,43 +185,24 @@ class GeometryPartDataset:
                       for i in range(n)]
         K = len(all_paths)
         kpad = self._kpad(K, B * P)
-        packed = np.zeros((kpad, N, 3), np.float32)
+        packed = np.zeros((kpad, N, 3), self.wire_dtype)
         self.sampler.sample_batch(all_paths, N, seeds, out=packed[:K])
-
-        counts = np.asarray(counts, np.int64)
-        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        pack_index = np.zeros((B, P), np.int32)
-        valids = np.zeros((B, P), np.float32)
-        row = np.arange(P)[None, :]
-        mask = row < counts[:, None]
-        pack_index[mask] = (offsets[:, None] + row)[mask]
-        valids[mask] = 1.0
-
-        batch = {
+        return {
             'part_pcs_raw__packed': packed,
-            'pack_index': pack_index,
-            'part_valids': valids,
+            'part_counts': np.asarray(counts, np.int32),
             'data_id': np.asarray(indices, np.int64),
-            'instance_label': np.zeros((B, P, 0), np.float32),
-            'part_label': np.zeros((B, P, 0), np.float32),
         }
-        for key in self.data_keys:
-            if key == 'part_ids':
-                ids = np.where(mask, row, 0).astype(np.float32)
-                batch['part_ids'] = ids
-            elif key == 'valid_matrix':
-                vm = (mask[:, :, None] & mask[:, None, :]).astype(np.float32)
-                batch['valid_matrix'] = vm
-            else:
-                raise ValueError(f'ERROR: unknown data {key}')
-        return batch
 
 
-def warm_unpack_cache(batch_size, max_parts, n_points, mesh=None):
-    """Pre-compile `unpack_parts` for every Kpad bucket of this loader
-    shape.  TPU compiles go through a minutes-level remote helper; paying
-    them lazily would stall the first occurrence of each bucket mid-epoch
-    (and each new shape also pays one-time transfer setup).
+def warm_unpack_cache(batch_size, max_parts, n_points, mesh=None,
+                      data_keys=('part_ids', 'valid_matrix'),
+                      wire_dtype=jnp.float16, expand=True):
+    """Pre-compile the packed-batch device hop for every Kpad bucket of
+    this loader shape: `expand_geometry_batch` (geometry minimal wire) or
+    `unpack_parts` (partnet packed wire, expand=False).  TPU compiles go
+    through a minutes-level remote helper; paying them lazily would stall
+    the first occurrence of each bucket mid-epoch (and each new shape also
+    pays one-time transfer setup).
 
     `mesh` must be the training mesh when one is used: jit caches are
     keyed on input SHARDINGS too, so warming with default-device arrays
@@ -231,10 +219,16 @@ def warm_unpack_cache(batch_size, max_parts, n_points, mesh=None):
         if k in seen:
             continue
         seen.add(k)
-        out = unpack_parts(
-            put(jnp.zeros((k, n_points, 3), jnp.float32)),
-            put(jnp.zeros((batch_size, max_parts), jnp.int32)),
-            put(jnp.zeros((batch_size, max_parts), jnp.float32)))
+        if expand:
+            out = expand_geometry_batch(
+                put(jnp.zeros((k, n_points, 3), wire_dtype)),
+                put(jnp.ones((batch_size, ), jnp.int32)),
+                max_parts=max_parts, data_keys=tuple(data_keys))
+        else:
+            out = unpack_parts(
+                put(jnp.zeros((k, n_points, 3), wire_dtype)),
+                put(jnp.zeros((batch_size, max_parts), jnp.int32)),
+                put(jnp.zeros((batch_size, max_parts), jnp.float32)))
         jax.block_until_ready(out)
 
 
@@ -252,11 +246,52 @@ def unpack_parts(part_pcs_packed, pack_index, part_valids):
     onehot = (pack_index.reshape(B * P, 1) ==
               jnp.arange(kpad, dtype=pack_index.dtype)).astype(jnp.float32)
     onehot = onehot * part_valids.reshape(B * P, 1)
-    flat = part_pcs_packed.reshape(kpad, n * 3)
+    # f16 wire rows upcast before the matmul (selection stays bit-exact)
+    flat = part_pcs_packed.reshape(kpad, n * 3).astype(jnp.float32)
     pcs = jax.lax.dot_general(
         onehot, flat, (((1, ), (0, )), ((), ())),
         precision=jax.lax.Precision.HIGHEST)
     return pcs.reshape(B, P, n, 3)
+
+
+@functools.partial(jax.jit, static_argnames=('max_parts', 'data_keys'))
+def expand_geometry_batch(part_pcs_packed, part_counts, max_parts,
+                          data_keys=('part_ids', 'valid_matrix')):
+    """Minimal wire format -> full dense batch, entirely on device.
+
+    Input is just the packed point rows ([Kpad, N, 3], f16 or f32) and the
+    per-sample valid-part counts ([B] i32); part_valids, the pack index,
+    valid_matrix, part_ids and the empty label tensors are all derived
+    here.  This removes every small-key host collation cost AND its wire
+    bytes (the round-2 pipeline shipped ~5 host-built arrays per batch,
+    VERDICT r2 next-1 / ROADMAP item 1).
+
+    Valid parts are a PREFIX of the part axis by construction (row < count),
+    the repo-wide invariant the chamfer kernels and masked GRU rely on.
+    """
+    B = part_counts.shape[0]
+    P = max_parts
+    row = jnp.arange(P, dtype=jnp.int32)[None, :]           # [1, P]
+    mask = row < part_counts[:, None]                       # [B, P]
+    valids = mask.astype(jnp.float32)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1, ), part_counts.dtype),
+         jnp.cumsum(part_counts)[:-1]])                     # [B]
+    pack_index = jnp.where(mask, offsets[:, None] + row, 0).astype(jnp.int32)
+    batch = {
+        'part_pcs_raw': unpack_parts(part_pcs_packed, pack_index, valids),
+        'part_valids': valids,
+        'instance_label': jnp.zeros((B, P, 0), jnp.float32),
+        'part_label': jnp.zeros((B, P, 0), jnp.float32),
+    }
+    for key in data_keys:
+        if key == 'part_ids':
+            batch['part_ids'] = jnp.where(mask, row, 0).astype(jnp.float32)
+        elif key == 'valid_matrix':
+            batch['valid_matrix'] = valids[:, :, None] * valids[:, None, :]
+        else:
+            raise ValueError(f'ERROR: unknown data {key}')
+    return batch
 
 
 @functools.partial(jax.jit, static_argnames=('rot_range', 'shuffle_points'))
@@ -339,6 +374,7 @@ def build_geometry_dataloader(cfg, sampler=None):
         rot_range=cfg.data.rot_range,
         overfit=cfg.data.overfit,
         sampler=sampler,
+        wire_dtype=cfg.data.get('wire_dtype', 'float16'),
     )
     train_set = GeometryPartDataset(
         data_fn=cfg.data.data_fn.format('train'),
@@ -346,9 +382,10 @@ def build_geometry_dataloader(cfg, sampler=None):
     val_set = GeometryPartDataset(
         data_fn=cfg.data.data_fn.format('val'), shuffle_parts=False, **common)
     # packed batch collation only when one local device consumes the whole
-    # local batch (the packed array has no batch axis to shard); per-host
-    # loaders make this correct for multi-HOST data parallelism
-    packed = jax.local_device_count() == 1
+    # local batch (the packed array has no batch axis to shard) AND the run
+    # is single-process: with multiple hosts, per-host Kpad differs so the
+    # packed array cannot form a valid global array under the 'data' mesh
+    packed = jax.local_device_count() == 1 and jax.process_count() == 1
     train_loader = DataLoader(
         train_set, batch_size=cfg.exp.batch_size, shuffle=True,
         drop_last=True, num_workers=cfg.exp.num_workers,

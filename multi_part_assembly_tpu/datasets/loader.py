@@ -19,8 +19,8 @@ __all__ = ['DataLoader']
 
 class DataLoader:
     def __init__(self, dataset, batch_size, shuffle=False, drop_last=False,
-                 num_workers=4, seed=0, prefetch=2, shard_by_process=True,
-                 batch_collate=False):
+                 num_workers=4, seed=0, prefetch=3, shard_by_process=True,
+                 batch_collate=False, transform=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -29,6 +29,12 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.epoch = 0
+        # transform: applied to each collated batch IN the producer thread
+        # before enqueueing.  The Trainer/bench install a device-placement
+        # transform here so the host->device transfer (and the packed
+        # expand dispatch) overlaps device compute of in-flight steps; the
+        # consumer's data wait then collapses to a queue get.
+        self.transform = transform
         # batch_collate: hand whole index batches to dataset.collate_batch
         # (one GIL-released native call, packed output) instead of per-item
         # __getitem__ + stack.  Callers enable it only when a single local
@@ -95,13 +101,16 @@ class DataLoader:
                         return
                     try:
                         if self.batch_collate:
-                            q.put(self.dataset.collate_batch(
-                                [int(i) for i in b]))
+                            batch = self.dataset.collate_batch(
+                                [int(i) for i in b])
                         else:
                             fetch = pool.map if pool else map
                             items = list(fetch(
                                 lambda i: self.dataset[int(i)], b))
-                            q.put(self._collate(items))
+                            batch = self._collate(items)
+                        if self.transform is not None:
+                            batch = self.transform(batch)
+                        q.put(batch)
                     except Exception as e:  # surface errors to the consumer
                         q.put(e)
                         return

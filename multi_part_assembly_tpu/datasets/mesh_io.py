@@ -39,7 +39,11 @@ def _get_lib():
     with _build_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH) and not _build_native():
+        # always invoke make: it's an mtime no-op when the .so is current,
+        # and it rebuilds a stale .so after source changes (a stale build
+        # would silently lack newer symbols like mpa_sample_batch_f16)
+        built = _build_native()
+        if not os.path.exists(_LIB_PATH) and not built:
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
@@ -62,6 +66,14 @@ def _get_lib():
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int]
+        try:  # f16 wire-format entry (absent in pre-round-3 .so builds)
+            lib.mpa_sample_batch_f16.restype = ctypes.c_int
+            lib.mpa_sample_batch_f16.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_uint16), ctypes.c_int]
+        except AttributeError:
+            pass
         _lib = lib
         return _lib
 
@@ -154,32 +166,43 @@ class MeshSampler:
                                     np.random.default_rng(seed))
 
     def sample_batch(self, paths, n_points, seeds, out=None):
-        """Sample many cached meshes -> [len(paths), n_points, 3] float32.
+        """Sample many cached meshes -> [len(paths), n_points, 3] f32/f16.
 
         Native path is multithreaded in C++ with the GIL released.
-        `out` (optional) must be a C-contiguous f32 [len(paths), N, 3]
-        view to write into (saves a copy for batch-packed collation).
+        `out` (optional) must be a C-contiguous [len(paths), N, 3] view of
+        dtype float32 OR float16 to write into.  float16 engages the f16
+        wire-format path: the C++ sampler computes samples in the same
+        f32 stream and rounds on store (no extra host conversion pass).
         """
         n = len(paths)
         if out is None:
             out = np.empty((n, n_points, 3), np.float32)
-        assert out.flags['C_CONTIGUOUS'] and out.dtype == np.float32 \
-            and out.shape == (n, n_points, 3)
+        assert out.flags['C_CONTIGUOUS'] and out.shape == (n, n_points, 3) \
+            and out.dtype in (np.float32, np.float16)
+        f16 = out.dtype == np.float16
         if self._lib is not None:
             handles = np.asarray([self._handles[self.load(p)] for p in paths],
                                  np.int64)
             seeds = np.asarray(seeds, np.uint64)
-            rc = self._lib.mpa_sample_batch(
-                handles.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
-                n_points,
-                seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                self._n_threads)
+            if f16:
+                rc = self._lib.mpa_sample_batch_f16(
+                    handles.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    n, n_points,
+                    seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                    self._n_threads)
+            else:
+                rc = self._lib.mpa_sample_batch(
+                    handles.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    n, n_points,
+                    seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    self._n_threads)
             if rc != 0:
                 raise IOError(f'batch sampling failed (rc={rc})')
             return out
         for i, (p, s) in enumerate(zip(paths, seeds)):
-            out[i] = self.sample(p, n_points, int(s))
+            out[i] = self.sample(p, n_points, int(s))  # np casts if f16
         return out
 
     def close(self):

@@ -8,6 +8,7 @@ derives instance/match/contact labels exactly as the reference does.
 
 import collections
 import os
+import threading
 
 import numpy as np
 
@@ -17,7 +18,8 @@ __all__ = ['PartNetPartDataset', 'build_partnet_dataloader']
 class PartNetPartDataset:
     def __init__(self, data_dir, data_fn, data_keys, num_part_category=20,
                  min_num_part=2, max_num_part=20, shuffle_parts=False,
-                 overfit=-1, level=3, cache_items=2048):
+                 overfit=-1, level=3, cache_items=2048,
+                 wire_dtype='float16'):
         self.data_dir = data_dir
         self.data_fn = data_fn
         self.num_part_category = num_part_category
@@ -26,12 +28,18 @@ class PartNetPartDataset:
         self.shuffle_parts = shuffle_parts
         self.level = level  # fixed in the paper (partnet_data.py:32)
         self.data_keys = tuple(data_keys)
+        # packed-collation wire dtype (see geometry.py: f16 halves wire
+        # bytes; quantization <=2.4e-4 at unit scale, parity-pinned)
+        self.wire_dtype = np.dtype(wire_dtype)
         # LRU over raw npy dicts: the reference re-reads + unpickles every
         # shape every epoch (partnet_data.py:66); ~240KB/shape, so 2048
         # items is ~0.5GB for the level-3 sets
         self._cache_items = cache_items
         self._raw_cache = collections.OrderedDict()
         self._item_cache = collections.OrderedDict()  # derived (no pcs)
+        # loader workers fetch items concurrently; get/move_to_end/popitem
+        # sequences on the OrderedDicts must be atomic
+        self._cache_lock = threading.Lock()
         self.shape_ids = self._read_data(data_fn)
         if overfit > 0:
             self.shape_ids = self.shape_ids[:overfit]
@@ -66,31 +74,35 @@ class PartNetPartDataset:
         return len(self.shape_ids)
 
     def _load_raw(self, shape_id):
-        cached = self._raw_cache.get(shape_id)
-        if cached is not None:
-            self._raw_cache.move_to_end(shape_id)
-            return cached
+        with self._cache_lock:
+            cached = self._raw_cache.get(shape_id)
+            if cached is not None:
+                self._raw_cache.move_to_end(shape_id)
+                return cached
         data = np.load(self._shape_path(shape_id), allow_pickle=True).item()
-        self._raw_cache[shape_id] = data
-        while len(self._raw_cache) > self._cache_items:
-            self._raw_cache.popitem(last=False)
+        with self._cache_lock:
+            self._raw_cache[shape_id] = data
+            while len(self._raw_cache) > self._cache_items:
+                self._raw_cache.popitem(last=False)
         return data
 
     def _load_contacts(self, shape_id):
         """Cached contact-point pair matrix (the reference re-reads the
         side file every epoch, partnet_data.py:210-214)."""
         key = ('contacts', shape_id)
-        cached = self._raw_cache.get(key)
-        if cached is not None:
-            self._raw_cache.move_to_end(key)
-            return cached
+        with self._cache_lock:
+            cached = self._raw_cache.get(key)
+            if cached is not None:
+                self._raw_cache.move_to_end(key)
+                return cached
         fn = os.path.join(
             self.data_dir, 'contact_points',
             f'pairs_with_contact_points_{shape_id}_level{self.level}.npy')
         data = np.load(fn, allow_pickle=True)
-        self._raw_cache[key] = data
-        while len(self._raw_cache) > self._cache_items:
-            self._raw_cache.popitem(last=False)
+        with self._cache_lock:
+            self._raw_cache[key] = data
+            while len(self._raw_cache) > self._cache_items:
+                self._raw_cache.popitem(last=False)
         return data
 
     def __getitem__(self, index):
@@ -111,9 +123,11 @@ class PartNetPartDataset:
             idx = np.random.permutation(num_parts)
             cur_data = {k: np.asarray(v)[idx] for k, v in cur_data.items()}
         else:
-            cached = self._item_cache.get(index)
+            with self._cache_lock:
+                cached = self._item_cache.get(index)
+                if cached is not None:
+                    self._item_cache.move_to_end(index)
             if cached is not None:
-                self._item_cache.move_to_end(index)
                 data_dict = dict(cached)  # shallow copy: callers may add
                 if include_pcs:
                     data_dict['part_pcs'] = self._pad_data(
@@ -192,9 +206,10 @@ class PartNetPartDataset:
 
         if not self.shuffle_parts:
             small = {k: v for k, v in data_dict.items() if k != 'part_pcs'}
-            self._item_cache[index] = small
-            while len(self._item_cache) > self._cache_items:
-                self._item_cache.popitem(last=False)
+            with self._cache_lock:
+                self._item_cache[index] = small
+                while len(self._item_cache) > self._cache_items:
+                    self._item_cache.popitem(last=False)
         return data_dict, cur_data, num_parts
 
     def collate_batch(self, indices):
@@ -219,9 +234,10 @@ class PartNetPartDataset:
         N = pcs_list[0].shape[1]
         K = int(counts.sum())
         kpad = GeometryPartDataset._kpad(K, B * P)
-        packed = np.zeros((kpad, N, 3), np.float32)
-        np.concatenate(pcs_list, axis=0, out=packed[:K])
+        packed = np.zeros((kpad, N, 3), self.wire_dtype)
         offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        for off, p in zip(offsets, pcs_list):  # np converts on assignment
+            packed[off:off + p.shape[0]] = p
         row = np.arange(P)[None, :]
         mask = row < counts[:, None]
         pack_index = np.zeros((B, P), np.int32)
@@ -241,6 +257,7 @@ def build_partnet_dataloader(cfg):
         min_num_part=cfg.data.min_num_part,
         max_num_part=cfg.data.max_num_part,
         overfit=cfg.data.overfit,
+        wire_dtype=cfg.data.get('wire_dtype', 'float16'),
     )
     train_set = PartNetPartDataset(
         data_fn=cfg.data.data_fn.format('train'),
@@ -248,7 +265,8 @@ def build_partnet_dataloader(cfg):
     val_set = PartNetPartDataset(
         data_fn=cfg.data.data_fn.format('val'), shuffle_parts=False, **common)
     import jax
-    packed = jax.local_device_count() == 1  # see geometry.py rationale
+    # see geometry.py rationale (single local device AND single process)
+    packed = jax.local_device_count() == 1 and jax.process_count() == 1
     train_loader = DataLoader(
         train_set, batch_size=cfg.exp.batch_size, shuffle=True,
         drop_last=True, num_workers=cfg.exp.num_workers,

@@ -32,7 +32,12 @@ class _DecoderStep(nn.Module):
         h1, h2, prev_out = carry  # target_t: [B, C]; teacher_force: [] bool
         inp = jnp.where(teacher_force, target_t,
                         jax.lax.stop_gradient(prev_out))
-        # lockdrop on decoder input (seq2seq.py:109, dropout_i=0.2)
+        # decoder-input dropout (seq2seq.py:109, dropout_i=0.2).  The
+        # reference wraps this in LockedDropout (seq2seq.py:226-237), but
+        # its decoder is invoked once PER STEP with a length-1 sequence
+        # (seq2seq.py:180-188), so the "locked" mask is redrawn every step
+        # anyway -- fresh per-step masks here (split_rngs dropout=True)
+        # match the reference's actual behavior exactly.
         inp = nn.Dropout(0.2, deterministic=not self.train,
                          name='drop_i')(inp)
         nh1, _ = nn.GRUCell(features=self.hidden_size, name='cell0')(h1, inp)

@@ -28,7 +28,43 @@
 #include <unordered_map>
 #include <vector>
 
+#if defined(__F16C__)
+#include <immintrin.h>
+#endif
+
 namespace {
+
+// float -> IEEE-754 half, round-to-nearest-even.  F16C when available
+// (one instruction); portable bit-twiddling fallback otherwise.  Used by
+// the f16 wire-format sampling path: emitting half floats directly from
+// the sampler halves host->device bytes with no extra host pass.
+inline uint16_t f32_to_f16(float f) {
+#if defined(__F16C__)
+  return _cvtss_sh(f, _MM_FROUND_TO_NEAREST_INT);
+#else
+  uint32_t x;
+  std::memcpy(&x, &f, 4);
+  uint32_t sign = (x >> 16) & 0x8000u;
+  int32_t exp = static_cast<int32_t>((x >> 23) & 0xff) - 127 + 15;
+  uint32_t mant = x & 0x7fffffu;
+  if (exp >= 31) return static_cast<uint16_t>(sign | 0x7c00u);  // inf
+  if (exp <= 0) {                                // subnormal / zero
+    if (exp < -10) return static_cast<uint16_t>(sign);
+    mant |= 0x800000u;
+    uint32_t shift = static_cast<uint32_t>(14 - exp);
+    uint32_t half = mant >> shift;
+    uint32_t rem = mant & ((1u << shift) - 1u);
+    uint32_t halfway = 1u << (shift - 1);
+    if (rem > halfway || (rem == halfway && (half & 1u))) half++;
+    return static_cast<uint16_t>(sign | half);
+  }
+  uint16_t half =
+      static_cast<uint16_t>(sign | (exp << 10) | (mant >> 13));
+  uint32_t rem = mant & 0x1fffu;
+  if (rem > 0x1000u || (rem == 0x1000u && (half & 1u))) half++;
+  return half;
+#endif
+}
 
 struct Mesh {
   std::vector<float> verts;     // 3 * n_verts
@@ -149,7 +185,21 @@ void build_areas(Mesh *mesh) {
   // leftovers (fp residue) keep prob 1.0 / self alias
 }
 
-void sample_mesh(const Mesh &mesh, int n_points, uint64_t seed, float *out) {
+// Templated on the output store so the f32 and f16-wire paths share the
+// sampling loop (identical RNG stream and double math -> the f16 output
+// is exactly f16(round(f32 sample)), never a different sample).
+struct StoreF32 {
+  float *out;
+  void operator()(size_t j, float val) const { out[j] = val; }
+};
+struct StoreF16 {
+  uint16_t *out;
+  void operator()(size_t j, float val) const { out[j] = f32_to_f16(val); }
+};
+
+template <typename Store>
+void sample_mesh_t(const Mesh &mesh, int n_points, uint64_t seed,
+                   Store store) {
   Pcg32 rng(seed);
   size_t nf = mesh.cum_area.size();
   const float *v = mesh.verts.data();
@@ -167,10 +217,20 @@ void sample_mesh(const Mesh &mesh, int n_points, uint64_t seed, float *out) {
     double su = std::sqrt(u);
     double b0 = 1.0 - su, b1 = su * (1.0 - w), b2 = su * w;
     for (int d = 0; d < 3; ++d) {
-      out[3 * i + d] = static_cast<float>(
-          b0 * v[3 * a + d] + b1 * v[3 * b + d] + b2 * v[3 * c + d]);
+      store(3 * i + d,
+            static_cast<float>(b0 * v[3 * a + d] + b1 * v[3 * b + d] +
+                               b2 * v[3 * c + d]));
     }
   }
+}
+
+void sample_mesh(const Mesh &mesh, int n_points, uint64_t seed, float *out) {
+  sample_mesh_t(mesh, n_points, seed, StoreF32{out});
+}
+
+void sample_mesh_f16(const Mesh &mesh, int n_points, uint64_t seed,
+                     uint16_t *out) {
+  sample_mesh_t(mesh, n_points, seed, StoreF16{out});
 }
 
 Mesh *get_mesh(int64_t handle) {
@@ -247,6 +307,40 @@ int mpa_sample_batch(const int64_t *handles, int n_meshes, int n_points,
       if (i >= n_meshes) break;
       sample_mesh(*meshes[i], n_points, seeds[i],
                   out + static_cast<size_t>(i) * n_points * 3);
+    }
+  };
+  int nt = std::min(n_threads, n_meshes);
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto &th : threads) th.join();
+  return 0;
+}
+
+// Batched sampling with IEEE-754 half output (f16 wire format): out is
+// [n_meshes, n_points, 3] uint16 (np.float16 view).  Same RNG stream and
+// sample math as mpa_sample_batch; only the store rounds to half.
+int mpa_sample_batch_f16(const int64_t *handles, int n_meshes, int n_points,
+                         const uint64_t *seeds, uint16_t *out,
+                         int n_threads) {
+  std::vector<Mesh *> meshes(n_meshes);
+  for (int i = 0; i < n_meshes; ++i) {
+    meshes[i] = get_mesh(handles[i]);
+    if (!meshes[i]) return -(i + 1);
+  }
+  if (n_threads <= 1 || n_meshes == 1) {
+    for (int i = 0; i < n_meshes; ++i)
+      sample_mesh_f16(*meshes[i], n_points, seeds[i],
+                      out + static_cast<size_t>(i) * n_points * 3);
+    return 0;
+  }
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n_meshes) break;
+      sample_mesh_f16(*meshes[i], n_points, seeds[i],
+                      out + static_cast<size_t>(i) * n_points * 3);
     }
   };
   int nt = std::min(n_threads, n_meshes);

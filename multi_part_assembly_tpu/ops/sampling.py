@@ -123,7 +123,7 @@ def three_nn(unknown, known):
 
     Returns:
         dist: [B, n, 3] squared distances; idx: [B, n, 3] int32
-        (interpolate_gpu.cu:13-57 returns unsquared? it returns squared d)
+        (squared, matching interpolate_gpu.cu:31-55's `d = x*x+y*y+z*z`)
     """
     d2 = _sqdist(unknown, known)
     neg, idx = jax.lax.top_k(-d2, 3)

@@ -176,6 +176,9 @@ def _stack_dict(log_dict, log_keys):
     keys = sorted(log_dict)
     if not log_keys:
         log_keys.extend(keys)  # runs at trace time
+    elif keys != log_keys:  # a retrace must not silently mislabel rows
+        raise ValueError(
+            f'log keys changed across retraces: {log_keys} -> {keys}')
     return jnp.stack([jnp.asarray(log_dict[k], jnp.float32) for k in keys])
 
 

@@ -19,13 +19,13 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 from ..datasets import augment_geometry_batch, build_dataloader
-from ..datasets.geometry import unpack_parts
+from ..datasets.geometry import expand_geometry_batch, unpack_parts
 from ..models import build_model
 from ..parallel.mesh import (make_eval_step_stacked, make_mesh,
                              make_train_step_stacked, shard_batch)
 from .state import create_train_state
 
-__all__ = ['Trainer', 'JSONLLogger']
+__all__ = ['Trainer', 'JSONLLogger', 'WandbLogger', 'build_logger']
 
 _DROP_KEYS = ('data_id', 'shape_id')  # host-only metadata
 
@@ -55,6 +55,50 @@ class JSONLLogger:
         self._f.close()
 
 
+class WandbLogger(JSONLLogger):
+    """JSONL sink + wandb mirror (the reference's only observability
+    channel, scripts/train.py:74-79).  Degrades to plain JSONL when the
+    `wandb` package is absent (it is not in this image) or init fails, so
+    enabling it is always safe."""
+
+    def __init__(self, log_dir, name='metrics', quiet=False,
+                 project='multi_part_assembly_tpu', run_name=None,
+                 config=None):
+        super().__init__(log_dir, name=name, quiet=quiet)
+        self._wandb = None
+        try:
+            import wandb
+            self._wandb = wandb.init(
+                project=project, name=run_name, dir=log_dir,
+                config=config, resume='allow')
+        except Exception as e:  # absent package / offline / auth failure
+            print(f'wandb unavailable ({e!r}); logging to JSONL only',
+                  flush=True)
+
+    def log(self, record, step=None, echo=None):
+        super().log(record, step=step, echo=echo)
+        if self._wandb is not None:
+            numeric = {k: float(v) for k, v in record.items()
+                       if isinstance(v, (int, float)) or hasattr(v, 'item')}
+            self._wandb.log(numeric,
+                            step=None if step is None else int(step))
+
+    def close(self):
+        if self._wandb is not None:
+            self._wandb.finish()
+        super().close()
+
+
+def build_logger(cfg, log_dir, quiet=False):
+    """Logger factory: `cfg.exp.wandb: True` opts into the wandb mirror."""
+    if cfg is not None and cfg.exp.get('wandb', False):
+        return WandbLogger(
+            log_dir, quiet=quiet,
+            project=cfg.exp.get('wandb_project', 'multi_part_assembly_tpu'),
+            run_name=cfg.exp.get('name', None))
+    return JSONLLogger(log_dir, quiet=quiet)
+
+
 def _prep_batch(batch, cfg, mesh, rng, augment=True):
     """Host batch -> device batch: pad to the mesh's data-axis multiple and
     shard.  Geometry batches carry raw points ('part_pcs_raw'); with
@@ -63,33 +107,53 @@ def _prep_batch(batch, cfg, mesh, rng, augment=True):
     it is fused into the compiled train/eval step (parallel/mesh.py
     `_maybe_augment`).
 
+    Batches that already went through the producer-thread device prep
+    (`install_device_prep`) carry a '__real_bs__' marker and pass through
+    untouched (augment still applies when requested).
+
     Returns (device_batch, real_batch_size); rows past real_batch_size are
     edge-replicated padding (remainder val batches) to be sliced off after
     per-element eval.
     """
-    batch = {k: np.asarray(v) for k, v in batch.items()
-             if k not in _DROP_KEYS}
-    real_bs = batch['part_valids'].shape[0]
-    n_data = mesh.shape['data']
-    padded = -(-real_bs // n_data) * n_data
-    if padded != real_bs:
-        batch = {
-            k: np.concatenate(
-                [v] + [v[-1:]] * (padded - real_bs), axis=0)
-            if not k.endswith('__packed') else v  # packed rows: no B axis
-            for k, v in batch.items()
-        }
-    batch = shard_batch(batch, mesh)
-    packed_keys = [k for k in batch if k.endswith('__packed')]
-    if packed_keys:
-        # eager unpack: its own small jitted selection matmul, so only IT
-        # recompiles across Kpad buckets -- the (AOT-compilable)
-        # train/eval steps always see the fixed [B, P, N, 3] contract
-        idx = batch.pop('pack_index')
-        for k in packed_keys:
-            batch[k[:-len('__packed')]] = unpack_parts(
-                batch[k], idx, batch['part_valids'])
-            del batch[k]
+    if '__real_bs__' in batch:  # device-ready from the producer thread
+        real_bs = batch['__real_bs__']
+        batch = {k: v for k, v in batch.items() if k != '__real_bs__'}
+    elif 'part_counts' in batch:
+        # minimal geometry wire: packed f16 rows + per-sample counts; all
+        # small keys derive on device (expand is its own small jitted fn,
+        # so only IT recompiles across Kpad buckets -- the AOT-compiled
+        # train/eval steps always see the fixed [B, P, N, 3] contract)
+        assert mesh.shape['data'] == 1, \
+            'minimal packed wire requires a single-device data axis'
+        real_bs = int(batch['part_counts'].shape[0])
+        device = {k: v for k, v in batch.items() if k not in _DROP_KEYS}
+        device = shard_batch(device, mesh)
+        batch = expand_geometry_batch(
+            device['part_pcs_raw__packed'], device['part_counts'],
+            max_parts=int(cfg.data.max_num_part),
+            data_keys=tuple(cfg.data.data_keys))
+    else:
+        batch = {k: np.asarray(v) for k, v in batch.items()
+                 if k not in _DROP_KEYS}
+        real_bs = batch['part_valids'].shape[0]
+        n_data = mesh.shape['data']
+        padded = -(-real_bs // n_data) * n_data
+        if padded != real_bs:
+            batch = {
+                k: np.concatenate(
+                    [v] + [v[-1:]] * (padded - real_bs), axis=0)
+                if not k.endswith('__packed') else v  # packed: no B axis
+                for k, v in batch.items()
+            }
+        batch = shard_batch(batch, mesh)
+        packed_keys = [k for k in batch if k.endswith('__packed')]
+        if packed_keys:
+            # eager unpack (see expand note above)
+            idx = batch.pop('pack_index')
+            for k in packed_keys:
+                batch[k[:-len('__packed')]] = unpack_parts(
+                    batch[k], idx, batch['part_valids'])
+                del batch[k]
     if augment and 'part_pcs_raw' in batch:
         aug = augment_geometry_batch(
             batch['part_pcs_raw'], batch['part_valids'], rng,
@@ -97,6 +161,20 @@ def _prep_batch(batch, cfg, mesh, rng, augment=True):
         batch = {**{k: v for k, v in batch.items() if k != 'part_pcs_raw'},
                  **aug}
     return batch, real_bs
+
+
+def install_device_prep(loader, cfg, mesh):
+    """Move the host->device hop into `loader`'s producer thread: each
+    collated batch is device_put + (for packed wires) expanded there, so
+    H2D serialization overlaps the device compute of in-flight steps and
+    the consumer's data wait collapses to a queue get.  The enqueued dict
+    carries '__real_bs__' so `_prep_batch` passes it through."""
+    def prep(host_batch):
+        device_batch, bs = _prep_batch(host_batch, cfg, mesh, None,
+                                       augment=False)
+        device_batch['__real_bs__'] = bs
+        return device_batch
+    loader.transform = prep
 
 
 class Trainer:
@@ -111,8 +189,15 @@ class Trainer:
         if getattr(self.train_loader, 'batch_collate', False):
             from ..datasets.geometry import warm_unpack_cache
             for bs in {cfg.exp.batch_size, cfg.exp.batch_size * 2}:
-                warm_unpack_cache(bs, cfg.data.max_num_part,
-                                  cfg.data.num_pc_points, mesh=self.mesh)
+                warm_unpack_cache(
+                    bs, cfg.data.max_num_part, cfg.data.num_pc_points,
+                    mesh=self.mesh, data_keys=tuple(cfg.data.data_keys),
+                    wire_dtype=jnp.dtype(
+                        cfg.data.get('wire_dtype', 'float16')),
+                    expand=cfg.data.dataset == 'geometry')
+            # producer-thread device placement (H2D overlaps device compute)
+            install_device_prep(self.train_loader, cfg, self.mesh)
+            install_device_prep(self.val_loader, cfg, self.mesh)
 
         # init from one sample batch
         rng = jax.random.PRNGKey(cfg.exp.get('seed', 0))
@@ -135,7 +220,7 @@ class Trainer:
 
         self.ckp_dir = ckp_dir or cfg.exp.get('ckp_dir', 'checkpoint/')
         os.makedirs(self.ckp_dir, exist_ok=True)
-        self.logger = JSONLLogger(self.ckp_dir, quiet=quiet)
+        self.logger = build_logger(cfg, self.ckp_dir, quiet=quiet)
         self.ckpt_mgr = ocp.CheckpointManager(
             os.path.abspath(os.path.join(self.ckp_dir, 'models')),
             options=ocp.CheckpointManagerOptions(
@@ -277,13 +362,18 @@ class Trainer:
                 jax.block_until_ready(done[-1][0])
         if not done:
             return {}
-        bss = [bs for _, bs in done]
-        if len(set(bss)) == 1:  # uniform batches stack into one fetch
-            mats = np.asarray(jnp.stack([m for m, _ in done]))  # [K, M, B]
-        else:  # remainder batch: fetch it separately (2 flushes total)
-            mats = list(np.asarray(jnp.stack([m for m, _ in done[:-1]]))) \
-                if len(done) > 1 else []
-            mats.append(np.asarray(done[-1][0]))
+        # group consecutive same-shape matrices so each group stacks into
+        # one fetch (typically 1 group + the remainder batch = 2 flushes;
+        # robust to any mid-stream shape change, not just a final one)
+        mats = []
+        run = [done[0][0]]
+        for m, _ in done[1:]:
+            if m.shape == run[0].shape:
+                run.append(m)
+            else:
+                mats.extend(np.asarray(jnp.stack(run)))
+                run = [m]
+        mats.extend(np.asarray(jnp.stack(run)))
         for (m, bs), mat in zip(done, mats):
             for k, row in zip(self._eval_log_keys, mat):
                 sums[k] = sums.get(k, 0.0) + float(row[:bs].sum())
@@ -354,6 +444,19 @@ class Trainer:
                 self.save_checkpoint(epoch, metrics)
         self._flush_train_logs()
         self.ckpt_mgr.wait_until_finished()
+
+    def swap_loaders(self, cfg):
+        """Re-point the data pipeline at a new cfg (e.g. another category)
+        WITHOUT rebuilding the compiled train/eval steps.  Batch shapes are
+        category-invariant (max_num_part / num_points come from the shared
+        base cfg), so the jit caches stay hot -- this is what lets
+        `scripts/test.py --category all` sweep 20 categories with ONE
+        compile instead of one per category (reference test.py:33-62 pays
+        a fresh Trainer per category)."""
+        assert cfg.data.max_num_part == self.cfg.data.max_num_part, \
+            'swap_loaders requires category-invariant batch shapes'
+        self.cfg = cfg
+        self.train_loader, self.val_loader = build_dataloader(cfg)
 
     def test(self):
         """Eval on the val split; stash results like reference

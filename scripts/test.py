@@ -57,16 +57,31 @@ def main():
 
     # loop over all categories, average, print LaTeX row
     # (reference test.py:33-62, scaling rot x1, trans x100, CD x1000, acc x100)
+    # ONE Trainer for the whole sweep: loaders swap per category but the
+    # compiled eval step is shape-invariant across categories, so the
+    # minutes-level TPU compile is paid once, not 20x.
+    from multi_part_assembly_tpu.train.trainer import Trainer
     all_category = list(cfg.data.all_category)
     all_results = {}
+    trainer = None
     for cat in all_category:
         cat_cfg = cfg.clone()
         cat_cfg.data.category = cat
+        cat_cfg.freeze()
         weight = args.weight.format(cat) if '{}' in args.weight else \
             args.weight
-        results = _test_one(cat_cfg, weight)
+        if trainer is None:
+            trainer = Trainer(cat_cfg, ckp_dir=os.path.join(
+                cfg.exp.ckp_dir, '_test_tmp'), resume=False, quiet=True)
+        else:
+            trainer.swap_loaders(cat_cfg)
+        if weight:
+            trainer.load_weights(weight)
+        results = trainer.test()
         for k, v in results.items():
             all_results.setdefault(k, []).append(v)
+    if trainer is not None:
+        trainer.close()
 
     metric_order = ['test/rot_rmse', 'test/rot_mae', 'test/trans_rmse',
                     'test/trans_mae', 'test/transform_pt_cd_loss',

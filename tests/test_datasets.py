@@ -128,38 +128,56 @@ def test_loader_batching(bb_tree):
 
 
 def test_packed_collate_matches_items(bb_tree):
-    """collate_batch (one native call, packed rows) reproduces the per-item
-    path exactly after unpack_parts."""
+    """collate_batch (one native call, minimal wire) reproduces the
+    per-item path exactly after the device-side expand."""
     import jax.numpy as jnp
 
-    from multi_part_assembly_tpu.datasets.geometry import unpack_parts
+    from multi_part_assembly_tpu.datasets.geometry import \
+        expand_geometry_batch
 
     ds = GeometryPartDataset(
         data_dir=bb_tree, data_fn='everyday.train.txt',
         data_keys=('part_ids', 'valid_matrix'), num_points=32,
-        min_num_part=2, max_num_part=8)
+        min_num_part=2, max_num_part=8, wire_dtype='float32')
     idx = [0, 2]
     batch = ds.collate_batch(idx)
     assert batch['part_pcs_raw__packed'].shape[1:] == (32, 3)
-    assert batch['pack_index'].shape == (2, 8)
-    unpacked = np.asarray(unpack_parts(
+    assert batch['part_counts'].tolist() == [2, 5]
+    expanded = jax.tree_util.tree_map(np.asarray, expand_geometry_batch(
         jnp.asarray(batch['part_pcs_raw__packed']),
-        jnp.asarray(batch['pack_index']),
-        jnp.asarray(batch['part_valids'])))
+        jnp.asarray(batch['part_counts']), max_parts=8,
+        data_keys=('part_ids', 'valid_matrix')))
     for row, i in enumerate(idx):
         item = ds[i]
-        np.testing.assert_allclose(unpacked[row], item['part_pcs_raw'],
-                                   atol=0)
-        np.testing.assert_array_equal(batch['part_valids'][row],
+        np.testing.assert_allclose(expanded['part_pcs_raw'][row],
+                                   item['part_pcs_raw'], atol=0)
+        np.testing.assert_array_equal(expanded['part_valids'][row],
                                       item['part_valids'])
-        np.testing.assert_array_equal(batch['part_ids'][row],
+        np.testing.assert_array_equal(expanded['part_ids'][row],
                                       item['part_ids'])
-        np.testing.assert_array_equal(batch['valid_matrix'][row],
+        np.testing.assert_array_equal(expanded['valid_matrix'][row],
                                       item['valid_matrix'])
     # Kpad bucketing: dense 16 -> smallest of {2, 4, 8, 16} that fits
     assert batch['part_pcs_raw__packed'].shape[0] == \
         GeometryPartDataset._kpad(
-            int(batch['part_valids'].sum()), 2 * 8)
+            int(batch['part_counts'].sum()), 2 * 8)
+
+
+def test_f16_wire_matches_f32_rounding(bb_tree):
+    """The f16 wire path (default) emits exactly f16(round(f32 sample)):
+    the native sampler shares the RNG stream and rounds on store."""
+    mk = lambda dt: GeometryPartDataset(
+        data_dir=bb_tree, data_fn='everyday.train.txt', data_keys=(),
+        num_points=32, min_num_part=2, max_num_part=8, wire_dtype=dt)
+    b16 = mk('float16').collate_batch([0, 2])
+    b32 = mk('float32').collate_batch([0, 2])
+    assert b16['part_pcs_raw__packed'].dtype == np.float16
+    np.testing.assert_array_equal(
+        b16['part_pcs_raw__packed'],
+        b32['part_pcs_raw__packed'].astype(np.float16))
+    # quantization error bound at unit scale
+    assert np.abs(b16['part_pcs_raw__packed'].astype(np.float32) -
+                  b32['part_pcs_raw__packed']).max() < 2e-3
 
 
 def test_loader_batch_collate(bb_tree):
@@ -170,7 +188,7 @@ def test_loader_batch_collate(bb_tree):
                         batch_collate=True)
     batches = list(loader)
     assert all('part_pcs_raw__packed' in b for b in batches)
-    assert sum(b['part_valids'].shape[0] for b in batches) == 3
+    assert sum(b['part_counts'].shape[0] for b in batches) == 3
     # loader without the flag keeps the per-item contract
     loader2 = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False)
     assert 'part_pcs_raw' in next(iter(loader2))
@@ -222,6 +240,77 @@ def test_augment_rot_range(rng):
         angles = R.from_quat(np.r_[qi[1:], qi[:1]]).as_euler(
             'xyz', degrees=True)
         assert np.all(np.abs(angles) < 11.0), angles
+
+
+def test_device_prep_pipeline(bb_tree):
+    """Producer-thread device prep on a single-device mesh: the loader
+    yields device-ready batches that match the per-item host path."""
+    from multi_part_assembly_tpu.parallel import make_mesh
+    from multi_part_assembly_tpu.train.trainer import (_prep_batch,
+                                                       install_device_prep)
+    from multi_part_assembly_tpu.utils import CN
+
+    cfg = CN()
+    cfg.data = CN({'dataset': 'geometry', 'max_num_part': 8,
+                   'data_keys': ('part_ids', 'valid_matrix'),
+                   'rot_range': -1., 'num_pc_points': 32})
+    mesh = make_mesh(devices=jax.devices()[:1])
+    ds = GeometryPartDataset(
+        data_dir=bb_tree, data_fn='everyday.train.txt',
+        data_keys=('part_ids', 'valid_matrix'), num_points=32,
+        min_num_part=2, max_num_part=8, wire_dtype='float32')
+    loader = DataLoader(ds, batch_size=3, shuffle=False, drop_last=False,
+                        batch_collate=True)
+    install_device_prep(loader, cfg, mesh)
+    batch = next(iter(loader))
+    assert '__real_bs__' in batch
+    device_batch, bs = _prep_batch(batch, cfg, mesh, None, augment=False)
+    assert bs == 3
+    assert device_batch['part_pcs_raw'].shape == (3, 8, 32, 3)
+    for row in range(3):
+        item = ds[row]
+        np.testing.assert_allclose(
+            np.asarray(device_batch['part_pcs_raw'][row]),
+            item['part_pcs_raw'], atol=0)
+        np.testing.assert_array_equal(
+            np.asarray(device_batch['part_valids'][row]),
+            item['part_valids'])
+        np.testing.assert_array_equal(
+            np.asarray(device_batch['valid_matrix'][row]),
+            item['valid_matrix'])
+
+
+def test_f16_wire_metric_parity(rng):
+    """Eval metrics computed from f16-quantized clouds track the f32 ones
+    to ~1e-3: the basis for defaulting the wire format to float16."""
+    from multi_part_assembly_tpu.utils.eval_utils import calc_part_acc
+    from multi_part_assembly_tpu.utils.loss import shape_cd_loss
+    from multi_part_assembly_tpu.utils.rotation import Rotation3D
+
+    B, P, N = 4, 6, 256
+    pts32 = rng.randn(B, P, N, 3).astype(np.float32) * 0.5
+    pts16 = pts32.astype(np.float16).astype(np.float32)
+    valids = np.ones((B, P), np.float32)
+    valids[:, 4:] = 0.0
+    trans1 = rng.randn(B, P, 3).astype(np.float32) * 0.1
+    trans2 = trans1 + rng.randn(B, P, 3).astype(np.float32) * 0.05
+    q = rng.randn(B, P, 4).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    rot = Rotation3D(jnp.asarray(q), rot_type='quat')
+    acc32 = np.asarray(calc_part_acc(
+        jnp.asarray(pts32), jnp.asarray(trans1), jnp.asarray(trans2),
+        rot, rot, jnp.asarray(valids)))
+    acc16 = np.asarray(calc_part_acc(
+        jnp.asarray(pts16), jnp.asarray(trans1), jnp.asarray(trans2),
+        rot, rot, jnp.asarray(valids)))
+    np.testing.assert_allclose(acc16, acc32, atol=1e-6)
+    cd32 = np.asarray(shape_cd_loss(
+        jnp.asarray(pts32), jnp.asarray(trans1), jnp.asarray(trans2),
+        rot, rot, jnp.asarray(valids)))
+    cd16 = np.asarray(shape_cd_loss(
+        jnp.asarray(pts16), jnp.asarray(trans1), jnp.asarray(trans2),
+        rot, rot, jnp.asarray(valids)))
+    np.testing.assert_allclose(cd16, cd32, rtol=5e-3, atol=1e-4)
 
 
 @pytest.fixture
@@ -287,7 +376,8 @@ def test_partnet_packed_collate(partnet_tree):
         data_dir=partnet_tree, data_fn='Chair.train.npy',
         data_keys=('part_ids', 'match_ids', 'contact_points',
                    'valid_matrix'),
-        num_part_category=20, min_num_part=2, max_num_part=5)
+        num_part_category=20, min_num_part=2, max_num_part=5,
+        wire_dtype='float32')
     batch = ds.collate_batch([0, 1])
     assert 'part_pcs__packed' in batch and 'part_pcs' not in batch
     unpacked = np.asarray(unpack_parts(
@@ -300,3 +390,14 @@ def test_partnet_packed_collate(partnet_tree):
         for k in ('part_trans', 'part_quat', 'part_valids', 'match_ids',
                   'instance_label', 'contact_points', 'valid_matrix'):
             np.testing.assert_array_equal(batch[k][row], item[k])
+    # default f16 wire: packed rows == f16 rounding of the f32 items
+    ds16 = PartNetPartDataset(
+        data_dir=partnet_tree, data_fn='Chair.train.npy',
+        data_keys=('part_ids', 'match_ids', 'contact_points',
+                   'valid_matrix'),
+        num_part_category=20, min_num_part=2, max_num_part=5)
+    b16 = ds16.collate_batch([0, 1])
+    assert b16['part_pcs__packed'].dtype == np.float16
+    np.testing.assert_array_equal(
+        b16['part_pcs__packed'],
+        batch['part_pcs__packed'].astype(np.float16))
