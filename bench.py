@@ -57,6 +57,15 @@ BENCH_MODELS = {
         'cfg': 'configs/lstm/lstm-32x1-cosine_200e-everyday.py',
         'kind': 'geometry',
     },
+    # cold-cache row (VERDICT r2 weak-2): the C++ mesh registry is evicted
+    # every epoch, so each epoch re-pays OBJ parse + file IO like a
+    # real-scale dataset (~34k fractures) whose meshes outrun RAM
+    'pn_transformer_everyday_cold': {
+        'cfg': 'configs/pn_transformer/pn_transformer/'
+               'pn_transformer-32x1-cosine_400e-everyday.py',
+        'kind': 'geometry',
+        'cold': True,
+    },
 }
 PRIMARY = 'pn_transformer_everyday'
 
@@ -73,7 +82,10 @@ def _ensure_data(kind):
     from make_synthetic_data import generate, generate_partnet
     smoke = bool(os.environ.get('MPA_BENCH_SMOKE'))
     root = os.environ.get('MPA_BENCH_DATA', '/tmp/mpa_bench_data')
-    path = os.path.join(root, kind + ('_smoke' if smoke else ''))
+    # v2: 512 shapes (16 batches/epoch -- the round-2 128-shape set gave
+    # 4-batch epochs, so the pipeline restarted before reaching steady
+    # state) and detail=8 meshes (~390 verts/piece, realistic parse cost)
+    path = os.path.join(root, kind + ('_smoke' if smoke else '_v2'))
     marker = os.path.join(path, '.done')
     if os.path.exists(marker):
         return path
@@ -82,10 +94,11 @@ def _ensure_data(kind):
         rng = np.random.default_rng(0)
         # write per-shape part counts from the everyday-like pool by
         # generating in groups (generate() draws uniform in [min, max])
-        n_shapes = 16 if smoke else 128
+        n_shapes = 16 if smoke else 512
         for i, n in enumerate(rng.choice(GEOMETRY_PART_POOL, n_shapes)):
             generate(path, n_shapes=1, min_parts=int(n), max_parts=int(n),
-                     seed=i, category=f'S{i:03d}')
+                     seed=i, category=f'S{i:03d}',
+                     detail=1 if smoke else 8)
         # generate() overwrites the txt lists per call; rebuild them
         cats = sorted(d for d in os.listdir(path)
                       if os.path.isdir(os.path.join(path, d)))
@@ -94,7 +107,7 @@ def _ensure_data(kind):
             with open(os.path.join(path, f'everyday.{split}.txt'), 'w') as f:
                 f.write('\n'.join(lines) + '\n')
     else:
-        generate_partnet(path, n_shapes=16 if smoke else 96,
+        generate_partnet(path, n_shapes=16 if smoke else 256,
                          min_parts=3, max_parts=8 if smoke else 20,
                          num_points=64 if smoke else 1000, seed=0,
                          split_prefix='Chair.')
@@ -128,6 +141,31 @@ def bench_one(name, spec, n_iters=20):
     mesh = make_mesh(batch_size=B)
     model = build_model(cfg)
     train_loader, _ = build_dataloader(cfg)
+
+    reparse_bytes = None
+    if spec.get('cold'):
+        # evict the C++ parsed-mesh registry at every epoch boundary: each
+        # epoch re-pays OBJ parse + file IO, modeling a real-scale dataset
+        # whose meshes don't fit the RAM registry
+        ds = train_loader.dataset
+        orig_set_epoch = ds.set_epoch
+
+        def cold_set_epoch(e):
+            ds.sampler.close()
+            orig_set_epoch(e)
+
+        ds.set_epoch = cold_set_epoch
+        reparse_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(cfg.data.data_dir)
+            for f in fs if f.endswith('.obj'))
+    elif hasattr(train_loader.dataset, '_mesh_files'):
+        # warm rows: pre-parse the whole registry so first-sight OBJ parse
+        # doesn't leak into the timed window (one-time cost in real runs)
+        ds = train_loader.dataset
+        for i in range(len(ds)):
+            for p in ds._mesh_files(i):
+                ds.sampler.load(p)
 
     # warm every packed-hop Kpad bucket BEFORE the producer thread starts
     # (compiles + per-shape transfer setup must not land mid-stream), then
@@ -205,6 +243,9 @@ def bench_one(name, spec, n_iters=20):
         'step_ms': round(dt / n_iters * 1e3, 2),
         'data_wait_ms': round(data_t / n_iters * 1e3, 2),
     }
+    if reparse_bytes is not None:
+        row['cold_cache'] = True
+        row['reparse_bytes_per_epoch'] = int(reparse_bytes)
     if flops:
         kind = jax.devices()[0].device_kind.lower()
         peak = next((v for k, v in _BF16_PEAK_FLOPS.items() if k in kind),

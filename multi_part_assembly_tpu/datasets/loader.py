@@ -65,9 +65,13 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
-        # per-host shard (contiguous strided, same count per host)
+        # per-host shard, truncated to the same count on every host: a
+        # count mismatch would have hosts dispatch different numbers of
+        # collective-bearing steps and deadlock the mesh (the reference's
+        # DistributedSampler pads with duplicates instead; truncation
+        # drops <num_shards samples per epoch)
         idx = idx[self._shard_id::self._num_shards]
-        return idx
+        return idx[:n // self._num_shards]
 
     @staticmethod
     def _collate(items):
@@ -90,7 +94,7 @@ class DataLoader:
         q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def produce():
+        def produce(out_q):
             # items fetch in a worker pool (the native mesh sampler and
             # numpy both release the GIL, so threads scale ~linearly)
             pool = ThreadPoolExecutor(self.num_workers) \
@@ -108,19 +112,43 @@ class DataLoader:
                             items = list(fetch(
                                 lambda i: self.dataset[int(i)], b))
                             batch = self._collate(items)
-                        if self.transform is not None:
-                            batch = self.transform(batch)
-                        q.put(batch)
+                        out_q.put(batch)
                     except Exception as e:  # surface errors to the consumer
-                        q.put(e)
+                        out_q.put(e)
                         return
-                q.put(None)
+                out_q.put(None)
             finally:
                 if pool:
                     pool.shutdown(wait=False)
 
-        t = threading.Thread(target=produce, daemon=True)
-        t.start()
+        if self.transform is not None:
+            # two-stage pipeline: stage A (collate; GIL-released native
+            # sampling) and stage B (transform: device_put + packed
+            # expand, mostly wire-wait) run in SEPARATE threads so they
+            # overlap -- in one thread their costs add (~4ms + ~2.4ms
+            # per batch, measured), which was slower than no transform
+            q1 = queue.Queue(maxsize=self.prefetch)
+
+            def stage_b():
+                while True:
+                    item = q1.get()
+                    if item is None or isinstance(item, Exception):
+                        q.put(item)
+                        return
+                    if stop.is_set():
+                        return
+                    try:
+                        q.put(self.transform(item))
+                    except Exception as e:
+                        q.put(e)
+                        return
+
+            ta = threading.Thread(target=produce, args=(q1, ), daemon=True)
+            tb = threading.Thread(target=stage_b, daemon=True)
+            ta.start()
+            tb.start()
+        else:
+            threading.Thread(target=produce, args=(q, ), daemon=True).start()
         try:
             while True:
                 item = q.get()

@@ -66,12 +66,16 @@ def _get_lib():
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int]
-        try:  # f16 wire-format entry (absent in pre-round-3 .so builds)
+        try:  # f16 wire-format entries (absent in pre-round-3 .so builds)
             lib.mpa_sample_batch_f16.restype = ctypes.c_int
             lib.mpa_sample_batch_f16.argtypes = [
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint64),
                 ctypes.POINTER(ctypes.c_uint16), ctypes.c_int]
+            lib.mpa_f32_to_f16.restype = None
+            lib.mpa_f32_to_f16.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64]
         except AttributeError:
             pass
         _lib = lib
@@ -80,6 +84,25 @@ def _get_lib():
 
 def native_available():
     return _get_lib() is not None
+
+
+def f32_to_f16(src, dst):
+    """Convert a C-contiguous f32 array into a same-shape f16 array.
+
+    Vectorized C++ (F16C) when the native lib is present (~30x numpy's
+    astype on this 1-CPU container), numpy fallback otherwise."""
+    assert src.dtype == np.float32 and dst.dtype == np.float16
+    assert src.flags['C_CONTIGUOUS'] and dst.flags['C_CONTIGUOUS']
+    assert src.shape == dst.shape
+    lib = _get_lib()
+    if lib is not None and hasattr(lib, 'mpa_f32_to_f16'):
+        lib.mpa_f32_to_f16(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            ctypes.c_int64(src.size))
+    else:
+        np.copyto(dst, src.astype(np.float16))
+    return dst
 
 
 # ---------------------------------------------------------------------------

@@ -236,8 +236,14 @@ class PartNetPartDataset:
         kpad = GeometryPartDataset._kpad(K, B * P)
         packed = np.zeros((kpad, N, 3), self.wire_dtype)
         offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        for off, p in zip(offsets, pcs_list):  # np converts on assignment
-            packed[off:off + p.shape[0]] = p
+        if self.wire_dtype == np.float16:
+            from .mesh_io import f32_to_f16  # C++ F16C; numpy is ~3ms/batch
+            for off, p in zip(offsets, pcs_list):
+                f32_to_f16(np.ascontiguousarray(p, np.float32),
+                           packed[off:off + p.shape[0]])
+        else:
+            for off, p in zip(offsets, pcs_list):
+                packed[off:off + p.shape[0]] = p
         row = np.arange(P)[None, :]
         mask = row < counts[:, None]
         pack_index = np.zeros((B, P), np.int32)

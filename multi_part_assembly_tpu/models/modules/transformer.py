@@ -55,8 +55,11 @@ class _EncoderLayer(nn.Module):
             h = nn.Dense(self.d_model, dtype=cdt, name='linear2')(h)
             return nn.Dropout(self.dropout, deterministic=not train)(h)
 
-        norm1 = nn.LayerNorm(name='norm1')
-        norm2 = nn.LayerNorm(name='norm2')
+        # epsilon: torch LayerNorm default (1e-5; flax defaults to 1e-6 --
+        # a ~1e-3 drift through stacked residuals, caught by the forward
+        # goldens in tests/test_golden_forward.py)
+        norm1 = nn.LayerNorm(epsilon=1e-5, name='norm1')
+        norm2 = nn.LayerNorm(epsilon=1e-5, name='norm2')
         if self.norm_first:
             x = x + _sa(norm1(x))
             x = x + _ffn(norm2(x))
@@ -89,7 +92,7 @@ class TransformerEncoder(nn.Module):
                 ffn_dim=self.ffn_dim, norm_first=self.norm_first,
                 dropout=self.dropout, name=f'layer{i}')(x, pad_mask, train)
         if self.norm_first:  # final LN only in pre-LN mode (reference :33)
-            x = nn.LayerNorm(name='norm')(x)
+            x = nn.LayerNorm(epsilon=1e-5, name='norm')(x)
         if self.out_dim is not None:
             x = nn.Dense(self.out_dim, name='out_fc')(x)
         return x

@@ -77,6 +77,10 @@ struct Mesh {
   // throughput)
   std::vector<double> alias_prob;    // acceptance threshold per bucket
   std::vector<int32_t> alias_index;  // alias face per bucket
+  // contiguous per-face triangle vertices (a, b-a, c-a interleaved, 9
+  // floats/face): one cache line per draw instead of 3 scattered vertex
+  // reads + 3 face-index reads
+  std::vector<float> tri;
 };
 
 // --- PCG32: tiny, fast, reproducible RNG ---
@@ -183,6 +187,20 @@ void build_areas(Mesh *mesh) {
     (scaled[l] < 1.0 ? small : large).push_back(l);
   }
   // leftovers (fp residue) keep prob 1.0 / self alias
+
+  // pack triangles contiguously as (a, b-a, c-a): the sample loop then
+  // reads one 36B block per draw and uses 6 fmas for the barycentric mix
+  mesh->tri.resize(nf * 9);
+  for (size_t f = 0; f < nf; ++f) {
+    int32_t a = mesh->faces[3 * f], b = mesh->faces[3 * f + 1],
+            c = mesh->faces[3 * f + 2];
+    float *t = mesh->tri.data() + 9 * f;
+    for (int d = 0; d < 3; ++d) {
+      t[d] = v[3 * a + d];
+      t[3 + d] = v[3 * b + d] - v[3 * a + d];
+      t[6 + d] = v[3 * c + d] - v[3 * a + d];
+    }
+  }
 }
 
 // Templated on the output store so the f32 and f16-wire paths share the
@@ -202,7 +220,7 @@ void sample_mesh_t(const Mesh &mesh, int n_points, uint64_t seed,
                    Store store) {
   Pcg32 rng(seed);
   size_t nf = mesh.cum_area.size();
-  const float *v = mesh.verts.data();
+  const float *tri = mesh.tri.data();
   for (int i = 0; i < n_points; ++i) {
     // O(1) area-weighted face draw via the alias table
     double rf = rng.uniform() * static_cast<double>(nf);
@@ -210,16 +228,15 @@ void sample_mesh_t(const Mesh &mesh, int n_points, uint64_t seed,
     if (lo >= nf) lo = nf - 1;
     if (rf - static_cast<double>(lo) >= mesh.alias_prob[lo])
       lo = static_cast<size_t>(mesh.alias_index[lo]);
-    int32_t a = mesh.faces[3 * lo], b = mesh.faces[3 * lo + 1],
-            c = mesh.faces[3 * lo + 2];
-    // uniform barycentric (sqrt trick)
-    double u = rng.uniform(), w = rng.uniform();
-    double su = std::sqrt(u);
-    double b0 = 1.0 - su, b1 = su * (1.0 - w), b2 = su * w;
+    // uniform barycentric (sqrt trick); float math (the fp-rounding
+    // difference vs the old double path is ~1e-7, far below the f16 wire
+    // quantization) on the contiguous (a, b-a, c-a) triangle block
+    float su = std::sqrt(static_cast<float>(rng.uniform()));
+    float w = static_cast<float>(rng.uniform());
+    float b1 = su * (1.0f - w), b2 = su * w;
+    const float *t = tri + 9 * lo;
     for (int d = 0; d < 3; ++d) {
-      store(3 * i + d,
-            static_cast<float>(b0 * v[3 * a + d] + b1 * v[3 * b + d] +
-                               b2 * v[3 * c + d]));
+      store(3 * i + d, t[d] + b1 * t[3 + d] + b2 * t[6 + d]);
     }
   }
 }
@@ -349,6 +366,23 @@ int mpa_sample_batch_f16(const int64_t *handles, int n_meshes, int n_points,
   for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
   for (auto &th : threads) th.join();
   return 0;
+}
+
+// Bulk f32 -> f16 conversion (vectorized via F16C under -march=native).
+// numpy's astype(np.float16) measured ~3ms for a 2.6MB PartNet batch on
+// this 1-CPU container; this does the same in ~0.1ms.
+void mpa_f32_to_f16(const float *in, uint16_t *out, int64_t n) {
+#if defined(__F16C__)
+  int64_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    __m256 v = _mm256_loadu_ps(in + i);
+    __m128i h = _mm256_cvtps_ph(v, _MM_FROUND_TO_NEAREST_INT);
+    _mm_storeu_si128(reinterpret_cast<__m128i *>(out + i), h);
+  }
+  for (; i < n; ++i) out[i] = f32_to_f16(in[i]);
+#else
+  for (int64_t i = 0; i < n; ++i) out[i] = f32_to_f16(in[i]);
+#endif
 }
 
 // Convenience: load (no cache) + sample in one call, threaded over meshes.

@@ -87,13 +87,23 @@ def replicated(mesh):
 def shard_batch(batch, mesh):
     """Place a host batch onto the mesh, sharded along the batch axis.
 
-    One pytree-level device_put (not one per leaf): each device_put call
-    pays a dispatch round trip through the runtime, ~0.5ms x n_keys of
-    pure overhead on the host loop."""
+    Single-process: one pytree-level device_put (not one per leaf: each
+    device_put call pays a dispatch round trip through the runtime,
+    ~0.5ms x n_keys of pure overhead on the host loop).
+
+    Multi-process: each host's loader yields a DIFFERENT local shard
+    (per-process index sharding, like the reference's DistributedSampler),
+    so the global batch is assembled with
+    `jax.make_array_from_process_local_data` -- a bare device_put would
+    treat every host's local array as the whole global value."""
     sh = batch_sharding(mesh)
     arrays = {k: v for k, v in batch.items()
               if hasattr(v, 'ndim') and v.ndim > 0}
-    moved = jax.device_put(arrays, sh)
+    if jax.process_count() > 1:
+        moved = {k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+                 for k, v in arrays.items()}
+    else:
+        moved = jax.device_put(arrays, sh)
     return {**batch, **moved}
 
 

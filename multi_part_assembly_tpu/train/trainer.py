@@ -396,9 +396,12 @@ class Trainer:
         if jax.process_index() == 0:
             self.logger.log(metrics, step=self._host_step,
                             echo=sorted(metrics))
-            n_vis = self.cfg.exp.get('val_sample_vis', 0)
-            if n_vis and n_vis > 0:
-                self._export_val_vis(epoch, n_vis)
+        n_vis = self.cfg.exp.get('val_sample_vis', 0)
+        # vis export is single-process only: it runs forward passes on one
+        # host, which would desync a multi-host mesh (and its _next_rng
+        # draw would advance rank 0's data rng stream past the others')
+        if n_vis and n_vis > 0 and jax.process_count() == 1:
+            self._export_val_vis(epoch, n_vis)
         return metrics
 
     def _export_val_vis(self, epoch, n_vis):

@@ -27,20 +27,54 @@ _CUBE_FACES = [
 ]
 
 
-def write_box_obj(path, scale, offset, rng):
-    """One irregular box piece: per-axis scale + vertex jitter + offset."""
-    v = _CUBE_VERTS * np.asarray(scale)[None]
-    v = v + rng.uniform(-0.02, 0.02, v.shape)  # break symmetry
+def write_box_obj(path, scale, offset, rng, detail=1):
+    """One irregular box piece: per-axis scale + vertex jitter + offset.
+
+    detail>1 subdivides each face into a detail x detail quad grid
+    (~6*detail^2 verts), approximating real Breaking-Bad piece meshes
+    (hundreds-thousands of verts) so mesh parse/IO costs are realistic."""
+    if detail <= 1:
+        v = _CUBE_VERTS * np.asarray(scale)[None]
+        v = v + rng.uniform(-0.02, 0.02, v.shape)
+        v = v + np.asarray(offset)[None]
+        with open(path, 'w') as f:
+            for x, y, z in v:
+                f.write(f'v {x:.6f} {y:.6f} {z:.6f}\n')
+            for face in _CUBE_FACES:
+                f.write('f ' + ' '.join(map(str, face)) + '\n')
+        return
+    verts, faces = [], []
+    d = int(detail)
+    # six axis-aligned grid faces of the unit cube
+    for axis in range(3):
+        for side in (0.0, 1.0):
+            base = len(verts)
+            u, w = [(a, b) for a, b in [((axis + 1) % 3, (axis + 2) % 3)]][0]
+            for i in range(d + 1):
+                for j in range(d + 1):
+                    p = [0.0, 0.0, 0.0]
+                    p[axis] = side
+                    p[u] = i / d
+                    p[w] = j / d
+                    verts.append(p)
+            for i in range(d):
+                for j in range(d):
+                    a = base + i * (d + 1) + j
+                    b, c, e = a + 1, a + d + 2, a + d + 1
+                    faces.append((a, b, c) if side else (a, c, b))
+                    faces.append((a, c, e) if side else (a, e, c))
+    v = (np.asarray(verts) - 0.5) * np.asarray(scale)[None]
+    v = v + rng.uniform(-0.01, 0.01, v.shape)
     v = v + np.asarray(offset)[None]
     with open(path, 'w') as f:
         for x, y, z in v:
             f.write(f'v {x:.6f} {y:.6f} {z:.6f}\n')
-        for face in _CUBE_FACES:
-            f.write('f ' + ' '.join(map(str, face)) + '\n')
+        for face in faces:
+            f.write('f ' + ' '.join(str(i + 1) for i in face) + '\n')
 
 
 def generate(out_dir, n_shapes=16, min_parts=2, max_parts=4, seed=0,
-             category='Synth', same_val=True):
+             category='Synth', same_val=True, detail=1):
     """Build the tree; returns the data_dir to point cfg.data.data_dir at.
 
     same_val=True lists the identical shapes in the val split (overfit /
@@ -56,7 +90,7 @@ def generate(out_dir, n_shapes=16, min_parts=2, max_parts=4, seed=0,
         for p in range(n_parts):
             scale = rng.uniform(0.08, 0.3, 3)
             write_box_obj(os.path.join(frac, f'piece_{p}.obj'),
-                          scale, offsets[p], rng)
+                          scale, offsets[p], rng, detail=detail)
         lines.append(f'{category}/obj{s:03d}')
     if same_val:
         train, val = lines, lines

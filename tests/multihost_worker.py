@@ -1,0 +1,93 @@
+"""Worker process for the 2-process `jax.distributed` CPU test.
+
+Each worker owns 2 virtual CPU devices; together they form a 2-host x
+2-device global mesh -- the smallest topology that exercises every
+multi-host code path the reference's DDP ran daily
+(/root/reference/scripts/train.py:85): per-process loader sharding,
+global-batch assembly from host-local data, cross-host gradient/metric
+reduction inside the jitted step, eval `process_allgather`, and a
+multiprocess Orbax checkpoint save.
+
+Launched by tests/test_multihost.py; not a pytest module itself.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--coordinator', required=True)
+    p.add_argument('--num_processes', type=int, required=True)
+    p.add_argument('--process_id', type=int, required=True)
+    p.add_argument('--data_dir', required=True)
+    p.add_argument('--ckp_dir', required=True)
+    p.add_argument('--out', required=True)
+    args = p.parse_args()
+
+    # 2 virtual CPU devices per process; must be set before jax backend init
+    flags = os.environ.get('XLA_FLAGS', '')
+    if 'xla_force_host_platform_device_count' not in flags:
+        os.environ['XLA_FLAGS'] = (
+            flags + ' --xla_force_host_platform_device_count=2').strip()
+
+    import jax
+    jax.config.update('jax_platforms', 'cpu')  # sitecustomize ignores env
+    jax.config.update('jax_num_cpu_devices', 2)
+    jax.distributed.initialize(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id)
+
+    assert jax.process_count() == args.num_processes
+    assert jax.local_device_count() == 2
+    assert jax.device_count() == 2 * args.num_processes
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from multi_part_assembly_tpu.train.trainer import Trainer
+    from multi_part_assembly_tpu.utils import CN
+
+    cfg = CN()
+    cfg.exp = CN({'batch_size': 4, 'num_epochs': 1, 'val_every': 1,
+                  'num_workers': 0, 'ckp_dir': args.ckp_dir, 'seed': 0,
+                  'val_sample_vis': 0, 'weight_file': ''})
+    cfg.data = CN({
+        'dataset': 'geometry', 'data_dir': args.data_dir,
+        'data_fn': 'everyday.{}.txt', 'data_keys': ('part_ids', ),
+        'category': '', 'rot_range': -1., 'num_pc_points': 24,
+        'min_num_part': 2, 'max_num_part': 4, 'shuffle_parts': False,
+        'overfit': -1,
+    })
+    cfg.optimizer = CN({'lr': 1e-3, 'weight_decay': 0., 'warmup_ratio': 0.,
+                        'clip_grad': None, 'lr_scheduler': 'cosine',
+                        'lr_decay_factor': 100.})
+    cfg.model = CN({'name': 'global', 'rot_type': 'quat', 'pc_feat_dim': 16,
+                    'encoder': 'pointnet'})
+    cfg.loss = CN({'noise_dim': 4, 'sample_iter': 1, 'trans_loss_w': 1.,
+                   'rot_pt_cd_loss_w': 10., 'transform_pt_cd_loss_w': 10.,
+                   'use_rot_loss': True, 'rot_loss_w': 0.2,
+                   'use_rot_pt_l2_loss': True, 'rot_pt_l2_loss_w': 1.})
+    cfg.freeze()
+
+    trainer = Trainer(cfg, ckp_dir=args.ckp_dir, resume=False, quiet=True)
+    # per-process loader shard: 8 shapes -> 4 per host -> 1 batch of 4
+    assert trainer.train_loader._num_shards == args.num_processes, \
+        trainer.train_loader._num_shards
+    assert len(trainer.train_loader) == 1, len(trainer.train_loader)
+    # multi-host must NOT use the single-device packed wire
+    assert not trainer.train_loader.batch_collate
+
+    trainer.fit()  # 1 epoch: train steps + validate + Orbax checkpoint
+    metrics = trainer.validate(0)  # all-reduced across hosts
+    trainer.close()
+
+    with open(args.out, 'w') as f:
+        json.dump({k: float(v) for k, v in metrics.items()}, f)
+    print(f'worker {args.process_id}: OK', flush=True)
+
+
+if __name__ == '__main__':
+    main()
