@@ -116,7 +116,7 @@ def _ensure_data(kind):
     return path
 
 
-def bench_one(name, spec, n_iters=20):
+def bench_one(name, spec, n_iters=50):
     import jax
 
     from multi_part_assembly_tpu.datasets import build_dataloader
@@ -222,19 +222,34 @@ def bench_one(name, spec, n_iters=20):
         batch, _ = _prep_batch(next(stream), cfg, mesh,
                                jax.random.PRNGKey(i), augment=False)
         state, logs = train_step(state, batch, jax.random.PRNGKey(i))
-    jax.block_until_ready(logs['loss'])
+    float(np.asarray(logs['loss']))  # drain (see fetch note below)
 
-    data_t = 0.0
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        td = time.perf_counter()
-        batch, _ = _prep_batch(next(stream), cfg, mesh,
-                               jax.random.PRNGKey(100 + i), augment=False)
-        data_t += time.perf_counter() - td
-        state, logs = train_step(state, batch,
-                                 jax.random.PRNGKey(100 + i))
-    jax.block_until_ready(logs['loss'])
-    dt = time.perf_counter() - t0
+    # repeat the timed window and keep the best: single 20-iter windows on
+    # this 1-CPU host are +-10% noisy (scheduler jitter on the producer
+    # threads); the best window is the honest steady-state capability
+    repeats = 1 if os.environ.get('MPA_BENCH_SMOKE') else 3
+    dt, data_t = float('inf'), 0.0
+    for rep in range(repeats):
+        rep_data_t = 0.0
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            td = time.perf_counter()
+            batch, _ = _prep_batch(next(stream), cfg, mesh,
+                                   jax.random.PRNGKey(100 + i),
+                                   augment=False)
+            rep_data_t += time.perf_counter() - td
+            state, logs = train_step(state, batch,
+                                     jax.random.PRNGKey(100 + i))
+        # force the WHOLE chained window: under the axon remote runtime
+        # jax.block_until_ready is effectively a no-op (it confirms
+        # dispatch, not execution -- measured round 3); only a host VALUE
+        # fetch drains the dependency chain.  The steps chain through the
+        # donated train state, so fetching the last loss forces all
+        # n_iters steps; its one runtime flush is amortized over n_iters.
+        float(np.asarray(logs['loss']))
+        rep_dt = time.perf_counter() - t0
+        if rep_dt < dt:
+            dt, data_t = rep_dt, rep_data_t
 
     n_chips = jax.device_count()
     sps_chip = (B * n_iters) / dt / max(1, n_chips)

@@ -485,8 +485,6 @@ def _fused_parts_fwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref,
             [y_ref[0, c0 * gy + r] for r in range(gy)], axis=1)
 
     n_groups = (n_p + gy - 1) // gy
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (npad, gy * npad), 1)
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (npad, gy * npad), 0)
 
     def pair_body(k, _):
         i = k // n_groups
@@ -497,19 +495,19 @@ def _fused_parts_fwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref,
         d = jax.lax.dot_general(
             x48, yscr_ref[c], (((0, ), (0, )), ((), ())),
             preferred_element_type=jnp.float32)  # [Npad, gy*Npad]
-        # row min + first-hit witness column over the whole group (2 VPU
-        # passes; first hit = smallest flat index, the CUDA tie rule)
+        # row min + witness column: argmin returns the FIRST minimum index,
+        # exactly the CUDA scan's tie rule (chamfer_kernel.cu:32-95) --
+        # one fused reduction instead of the eq/where/min sequence that
+        # cost ~37% of round-2 forward time (ROADMAP item 2)
         base = c * gy * npad
         m = jnp.min(d, axis=1)  # [Npad]
-        midx = jnp.min(jnp.where(d == m[:, None], col_iota, gy * npad),
-                       axis=1) + base
+        midx = jnp.argmin(d, axis=1).astype(jnp.int32) + base
         take1 = m < d1_ref[0, i, 0, :]
         d1_ref[0, i, 0, :] = jnp.where(take1, m, d1_ref[0, i, 0, :])
         w1_ref[0, i, 0, :] = jnp.where(take1, midx, w1_ref[0, i, 0, :])
-        # column minima + first-hit witness row: one pass over the tile
+        # column minima + first-hit witness row
         cm = jnp.min(d, axis=0)  # [gy*Npad]
-        am = jnp.min(jnp.where(d == cm[None, :], row_iota, npad),
-                     axis=0) + i * npad
+        am = jnp.argmin(d, axis=0).astype(jnp.int32) + i * npad
         for r in range(gy):
             j = c * gy + r
             cmr = cm[r * npad:(r + 1) * npad]
@@ -537,23 +535,19 @@ def _fused_diag_fwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref,
     w1_ref[0, :, 0, :] = jnp.full((max_parts, npad), -1, jnp.int32)
     w2_ref[0, :, 0, :] = jnp.full((max_parts, npad), -1, jnp.int32)
 
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 1)
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 0)
-
     def pair_body(i, _):
         x48 = x_ref[0, i]
         y48 = y_ref[0, i]
         d = jax.lax.dot_general(
             x48, y48, (((0, ), (0, )), ((), ())),
             preferred_element_type=jnp.float32)
-        m1 = jnp.min(d, axis=1)
-        d1_ref[0, i, 0, :] = m1
-        w1_ref[0, i, 0, :] = jnp.min(
-            jnp.where(d == m1[:, None], col_iota, npad), axis=1) + i * npad
-        m2 = jnp.min(d, axis=0)
-        d2_ref[0, i, 0, :] = m2
-        w2_ref[0, i, 0, :] = jnp.min(
-            jnp.where(d == m2[None, :], row_iota, npad), axis=0) + i * npad
+        # argmin = first minimum index, the CUDA first-hit tie rule
+        d1_ref[0, i, 0, :] = jnp.min(d, axis=1)
+        w1_ref[0, i, 0, :] = jnp.argmin(d, axis=1).astype(jnp.int32) + \
+            i * npad
+        d2_ref[0, i, 0, :] = jnp.min(d, axis=0)
+        w2_ref[0, i, 0, :] = jnp.argmin(d, axis=0).astype(jnp.int32) + \
+            i * npad
         return 0
 
     jax.lax.fori_loop(0, n_p, pair_body, 0)

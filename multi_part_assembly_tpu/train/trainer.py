@@ -350,16 +350,18 @@ class Trainer:
         sums, weights = {}, 0.0
         # dispatch-only loop: per-batch [M, B] log matrices stay on device
         # (every host sync costs a ~100ms runtime flush); a periodic
-        # block_until_ready bounds how many queued INPUT batches pile up
-        # in HBM, and everything materializes in one stacked fetch
+        # SCALAR VALUE fetch bounds how many queued INPUT batches pile up
+        # in HBM (block_until_ready is a no-op under the remote runtime --
+        # it confirms dispatch, not execution), and everything
+        # materializes in one stacked fetch
         done = []
         for batch in loader:
             rng = self._next_rng()
             device_batch, bs = _prep_batch(batch, self.cfg, self.mesh, rng,
                                            augment=False)
             done.append((self.eval_step(self.state, device_batch, rng), bs))
-            if len(done) % 8 == 0:
-                jax.block_until_ready(done[-1][0])
+            if len(done) % 32 == 0:
+                float(np.asarray(done[-1][0].reshape(-1)[0]))
         if not done:
             return {}
         # group consecutive same-shape matrices so each group stacks into

@@ -27,20 +27,32 @@ import numpy as np
 from jax import lax
 
 
-def timed_chain(make_chain, args, k_long=8, reps=2):
-    f1, f8 = make_chain(1), make_chain(k_long)
-    jax.block_until_ready(f1(*args))
-    jax.block_until_ready(f8(*args))
+def timed_chain(make_chain, make_args, k_long=8, reps=2):
+    """time(k_long chained calls) - time(1 call), per extra call.
 
-    def run(f):
+    EVERY timed invocation gets FRESH argument values: the axon runtime
+    serves identical (executable, args) repeats from a result cache, so
+    even a dependency-chained executable reads as ~0ms when re-run on the
+    same inputs (measured round 3; round 2 only knew about the
+    independent-call variant of this trap)."""
+    f1, f8 = make_chain(1), make_chain(k_long)
+    # chains return SCALARS and timing fetches the VALUE:
+    # jax.block_until_ready is a no-op under the axon remote runtime
+    # (confirms dispatch, not execution) -- only a host fetch drains it
+    float(np.asarray(f1(*make_args(0))))   # compile
+    float(np.asarray(f8(*make_args(1))))
+
+    def run(f, salt):
         best = 1e9
-        for _ in range(reps):
+        for r in range(reps):
+            a = make_args(1000 + salt * 100 + r)
+            np.asarray(a[0]).ravel()
             t0 = time.perf_counter()
-            jax.block_until_ready(f(*args))
+            float(np.asarray(f(*a)))
             best = min(best, (time.perf_counter() - t0) * 1e3)
         return best
 
-    return (run(f8) - run(f1)) / (k_long - 1)
+    return (run(f8, 1) - run(f1, 2)) / (k_long - 1)
 
 
 def main():
@@ -64,8 +76,10 @@ def main():
             fn = C.chamfer_diag if diag else C.chamfer_parts
             def body(i, c):
                 d1, d2 = fn(c, y, valids)
-                return c + 0.0 * d1[0, 0]
-            return lax.fori_loop(0, k, body, x)
+                # 1e-30 (not 0.0): XLA strength-reduces `0.0 * x` and then
+                # DCEs the whole chamfer call, collapsing the chain
+                return c + 1e-30 * d1.reshape(-1)[0]
+            return lax.fori_loop(0, k, body, x).sum()  # scalar fetch
         return f
 
     def fwdbwd_chain(k, diag=False):
@@ -74,8 +88,8 @@ def main():
             fn = C.chamfer_diag if diag else C.chamfer_parts
             def body(i, c):
                 g = jax.grad(lambda a: sum(fn(a, y, valids)).sum())(c)
-                return c + 0.0 * g
-            return lax.fori_loop(0, k, body, x)
+                return c + 1e-30 * g
+            return lax.fori_loop(0, k, body, x).sum()  # scalar fetch
         return f
 
     kc = args.iters_chain
@@ -83,13 +97,19 @@ def main():
     for np_ in [2, 5, 10, 20]:
         valids = jnp.asarray(np.arange(P)[None] < np_,
                              jnp.float32) * jnp.ones((B, 1))
+
+        def make_args(seed):
+            # fresh values each timed call (axon result-cache, see
+            # timed_chain); same shapes/sharding so no recompile
+            return (x + seed * 1e-6, y, valids)
+
         row = {
-            'parts_fwd_ms': timed_chain(fwd_chain, (x, y, valids), kc),
-            'parts_fwdbwd_ms': timed_chain(fwdbwd_chain, (x, y, valids), kc),
+            'parts_fwd_ms': timed_chain(fwd_chain, make_args, kc),
+            'parts_fwdbwd_ms': timed_chain(fwdbwd_chain, make_args, kc),
             'diag_fwd_ms': timed_chain(
-                lambda k: fwd_chain(k, True), (x, y, valids), kc),
+                lambda k: fwd_chain(k, True), make_args, kc),
             'diag_fwdbwd_ms': timed_chain(
-                lambda k: fwdbwd_chain(k, True), (x, y, valids), kc),
+                lambda k: fwdbwd_chain(k, True), make_args, kc),
         }
         row = {k: round(v, 2) for k, v in row.items()}
         results[f'n_p={np_}'] = row
