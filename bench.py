@@ -118,10 +118,13 @@ def _ensure_data(kind):
 
 def bench_one(name, spec, n_iters=50):
     import jax
+    n_iters = int(os.environ.get('MPA_BENCH_ITERS', n_iters))
 
     from multi_part_assembly_tpu.datasets import build_dataloader
     from multi_part_assembly_tpu.models import build_model
-    from multi_part_assembly_tpu.parallel import make_mesh, make_train_step
+    from multi_part_assembly_tpu.parallel import make_mesh
+    from multi_part_assembly_tpu.parallel.mesh import (
+        make_train_step_multi, make_train_step_stacked)
     from multi_part_assembly_tpu.train import create_train_state
     from multi_part_assembly_tpu.train.trainer import _prep_batch
     from multi_part_assembly_tpu.utils import load_cfg_file
@@ -167,6 +170,17 @@ def bench_one(name, spec, n_iters=50):
             for p in ds._mesh_files(i):
                 ds.sampler.load(p)
 
+    # steps-per-call grouping (geometry packed wire): the producer stacks
+    # G collated batches into ONE device_put + ONE vmapped expand, and the
+    # consumer runs them in ONE lax.scan'd G-step dispatch -- each RPC
+    # through the remote runtime costs ~2-6ms of host CPU (measured), so
+    # per-batch puts + dispatches bound the pipeline on this 1-core host
+    spc = 1
+    if (cfg.data.dataset == 'geometry'
+            and getattr(train_loader, 'batch_collate', False)):
+        default_spc = '1' if os.environ.get('MPA_BENCH_SMOKE') else '8'
+        spc = int(os.environ.get('MPA_BENCH_SPC', default_spc))
+
     # warm every packed-hop Kpad bucket BEFORE the producer thread starts
     # (compiles + per-shape transfer setup must not land mid-stream), then
     # move the device hop into the producer thread so H2D overlaps compute
@@ -179,7 +193,7 @@ def bench_one(name, spec, n_iters=50):
             B, cfg.data.max_num_part, cfg.data.num_pc_points, mesh=mesh,
             data_keys=tuple(cfg.data.data_keys),
             wire_dtype=jnp.dtype(cfg.data.get('wire_dtype', 'float16')),
-            expand=cfg.data.dataset == 'geometry')
+            expand=cfg.data.dataset == 'geometry', group_size=spc)
         install_device_prep(train_loader, cfg, mesh)
 
     def batches():
@@ -202,7 +216,8 @@ def bench_one(name, spec, n_iters=50):
     state, tx, _ = create_train_state(
         model, cfg, init_batch, jax.random.PRNGKey(0),
         steps_per_epoch=max(1, len(train_loader)))
-    train_step = make_train_step(model, tx, cfg, mesh, donate=True)
+    train_step, _ = make_train_step_stacked(model, tx, cfg, mesh,
+                                            donate=True)
 
     # AOT-compile once; the same executable serves the FLOP estimate and
     # the timed loop (a second traced call would compile a second copy)
@@ -217,46 +232,67 @@ def bench_one(name, spec, n_iters=50):
     except Exception:
         pass
 
-    # warmup
-    for i in range(2):
-        batch, _ = _prep_batch(next(stream), cfg, mesh,
-                               jax.random.PRNGKey(i), augment=False)
-        state, logs = train_step(state, batch, jax.random.PRNGKey(i))
-    float(np.asarray(logs['loss']))  # drain (see fetch note below)
+    train_step_multi = None
+    if spc > 1:
+        # switch the producer to grouped mode; the multi step compiles on
+        # the first real group during warmup (its jit cache entry must see
+        # the REAL input shardings -- see warm_unpack_cache docstring)
+        from multi_part_assembly_tpu.train.trainer import install_device_prep
+        install_device_prep(train_loader, cfg, mesh, group_size=spc)
+        train_step_multi, _ = make_train_step_multi(model, tx, cfg, mesh,
+                                                    donate=True)
+        stream = batches()  # restart so groups form from the epoch start
+        n_iters = -(-n_iters // spc) * spc  # whole groups per window
+
+    def run_window(n_steps, key0):
+        """Dispatch-only loop over >= n_steps train steps; returns
+        (wall_s, data_wait_s, steps_run).  The final VALUE fetch forces
+        the whole chained window: under the axon remote runtime
+        jax.block_until_ready confirms dispatch, not execution -- only a
+        host value fetch drains the dependency chain, and the steps chain
+        through the donated train state."""
+        nonlocal state
+        steps, data_t, last = 0, 0.0, None
+        t0 = time.perf_counter()
+        while steps < n_steps:
+            td = time.perf_counter()
+            host = next(stream)
+            data_t += time.perf_counter() - td
+            g = int(host.get('__group__', 1))
+            batch, _ = _prep_batch(host, cfg, mesh,
+                                   jax.random.PRNGKey(key0 + steps),
+                                   augment=False)
+            if g > 1:
+                state, last = train_step_multi(
+                    state, batch, jax.random.PRNGKey(key0 + steps))
+            else:
+                state, last = train_step(
+                    state, batch, jax.random.PRNGKey(key0 + steps))
+            steps += g
+        float(np.asarray(last).reshape(-1)[0])  # drain the chain
+        return time.perf_counter() - t0, data_t, steps
+
+    run_window(max(2, 2 * spc), key0=1)  # warmup (incl. multi-step compile)
 
     # repeat the timed window and keep the best: single 20-iter windows on
     # this 1-CPU host are +-10% noisy (scheduler jitter on the producer
     # threads); the best window is the honest steady-state capability
-    repeats = 1 if os.environ.get('MPA_BENCH_SMOKE') else 3
-    dt, data_t = float('inf'), 0.0
+    repeats = 1 if os.environ.get('MPA_BENCH_SMOKE') else \
+        int(os.environ.get('MPA_BENCH_REPEATS', 3))
+    dt, data_t, n_steps = float('inf'), 0.0, n_iters
     for rep in range(repeats):
-        rep_data_t = 0.0
-        t0 = time.perf_counter()
-        for i in range(n_iters):
-            td = time.perf_counter()
-            batch, _ = _prep_batch(next(stream), cfg, mesh,
-                                   jax.random.PRNGKey(100 + i),
-                                   augment=False)
-            rep_data_t += time.perf_counter() - td
-            state, logs = train_step(state, batch,
-                                     jax.random.PRNGKey(100 + i))
-        # force the WHOLE chained window: under the axon remote runtime
-        # jax.block_until_ready is effectively a no-op (it confirms
-        # dispatch, not execution -- measured round 3); only a host VALUE
-        # fetch drains the dependency chain.  The steps chain through the
-        # donated train state, so fetching the last loss forces all
-        # n_iters steps; its one runtime flush is amortized over n_iters.
-        float(np.asarray(logs['loss']))
-        rep_dt = time.perf_counter() - t0
-        if rep_dt < dt:
-            dt, data_t = rep_dt, rep_data_t
+        rep_dt, rep_data_t, rep_steps = run_window(n_iters,
+                                                   key0=100 * (rep + 1))
+        if rep_dt / rep_steps < dt / n_steps:
+            dt, data_t, n_steps = rep_dt, rep_data_t, rep_steps
 
     n_chips = jax.device_count()
-    sps_chip = (B * n_iters) / dt / max(1, n_chips)
+    sps_chip = (B * n_steps) / dt / max(1, n_chips)
     row = {
         'samples_per_sec_per_chip': round(sps_chip, 2),
-        'step_ms': round(dt / n_iters * 1e3, 2),
-        'data_wait_ms': round(data_t / n_iters * 1e3, 2),
+        'step_ms': round(dt / n_steps * 1e3, 2),
+        'data_wait_ms': round(data_t / n_steps * 1e3, 2),
+        'steps_per_call': spc,
     }
     if reparse_bytes is not None:
         row['cold_cache'] = True
@@ -268,7 +304,7 @@ def bench_one(name, spec, n_iters=50):
         row['tflops_per_step'] = round(flops / 1e12, 3)
         if peak:
             row['mfu_pct'] = round(
-                100.0 * flops * (n_iters / dt) / (peak * n_chips), 2)
+                100.0 * flops * (n_steps / dt) / (peak * n_chips), 2)
     return row
 
 

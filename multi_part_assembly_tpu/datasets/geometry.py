@@ -196,7 +196,7 @@ class GeometryPartDataset:
 
 def warm_unpack_cache(batch_size, max_parts, n_points, mesh=None,
                       data_keys=('part_ids', 'valid_matrix'),
-                      wire_dtype=jnp.float16, expand=True):
+                      wire_dtype=jnp.float16, expand=True, group_size=1):
     """Pre-compile the packed-batch device hop for every Kpad bucket of
     this loader shape: `expand_geometry_batch` (geometry minimal wire) or
     `unpack_parts` (partnet packed wire, expand=False).  TPU compiles go
@@ -224,6 +224,13 @@ def warm_unpack_cache(batch_size, max_parts, n_points, mesh=None,
                 put(jnp.zeros((k, n_points, 3), wire_dtype)),
                 put(jnp.ones((batch_size, ), jnp.int32)),
                 max_parts=max_parts, data_keys=tuple(data_keys))
+            if group_size > 1:  # grouped G-batch hop (install_device_prep)
+                out2 = expand_geometry_batch_multi(
+                    put(jnp.zeros((group_size, k, n_points, 3),
+                                  wire_dtype)),
+                    put(jnp.ones((group_size, batch_size), jnp.int32)),
+                    max_parts=max_parts, data_keys=tuple(data_keys))
+                jax.block_until_ready(out2)
         else:
             out = unpack_parts(
                 put(jnp.zeros((k, n_points, 3), wire_dtype)),
@@ -292,6 +299,23 @@ def expand_geometry_batch(part_pcs_packed, part_counts, max_parts,
         else:
             raise ValueError(f'ERROR: unknown data {key}')
     return batch
+
+
+@functools.partial(jax.jit, static_argnames=('max_parts', 'data_keys'))
+def expand_geometry_batch_multi(packed, counts, max_parts,
+                                data_keys=('part_ids', 'valid_matrix')):
+    """Grouped minimal wire -> stacked dense batches, one device call.
+
+    packed: [G, Kpad, N, 3] (G batches' packed rows, Kpad = the group's
+    max bucket); counts: [G, B].  Returns the input of
+    `make_train_step_multi`: each key with a leading step axis.  One
+    host->device invocation per G batches instead of per batch -- each
+    device_put RPC through the remote tunnel costs ~2-6ms of host CPU
+    (measured round 3), which at G=1 made the producer thread the
+    pipeline bottleneck on this 1-core host."""
+    return jax.vmap(
+        lambda p, c: expand_geometry_batch(
+            p, c, max_parts=max_parts, data_keys=data_keys))(packed, counts)
 
 
 @functools.partial(jax.jit, static_argnames=('rot_range', 'shuffle_points'))

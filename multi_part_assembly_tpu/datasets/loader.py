@@ -35,6 +35,17 @@ class DataLoader:
         # expand dispatch) overlaps device compute of in-flight steps; the
         # consumer's data wait then collapses to a queue get.
         self.transform = transform
+        # group mode: stage B collects `group_size` collated batches and
+        # hands the LIST to `group_transform` (one device_put RPC + one
+        # expand per group instead of per batch -- each RPC costs ~2-6ms
+        # of host CPU through the remote tunnel).  Epoch-tail remainders
+        # (< group_size) fall back to the per-batch `transform`.
+        self.group_size = 1
+        self.group_transform = None
+        # group_key: item -> hashable; only same-key batches group (the
+        # epoch-tail remainder batch has a smaller batch axis and must not
+        # be stacked with full ones).  None = group everything.
+        self.group_key = None
         # batch_collate: hand whole index batches to dataset.collate_batch
         # (one GIL-released native call, packed output) instead of per-item
         # __getitem__ + stack.  Callers enable it only when a single local
@@ -121,24 +132,49 @@ class DataLoader:
                 if pool:
                     pool.shutdown(wait=False)
 
-        if self.transform is not None:
+        use_groups = self.group_size > 1 and self.group_transform is not None
+        if self.transform is not None or use_groups:
             # two-stage pipeline: stage A (collate; GIL-released native
             # sampling) and stage B (transform: device_put + packed
             # expand, mostly wire-wait) run in SEPARATE threads so they
             # overlap -- in one thread their costs add (~4ms + ~2.4ms
             # per batch, measured), which was slower than no transform
-            q1 = queue.Queue(maxsize=self.prefetch)
+            q1 = queue.Queue(maxsize=max(self.prefetch, self.group_size))
 
             def stage_b():
+                pend = []
+
+                def flush_tail():
+                    # epoch-tail remainder: per-batch path
+                    for it in pend:
+                        q.put(self.transform(it) if self.transform else it)
+                    pend.clear()
+
                 while True:
                     item = q1.get()
                     if item is None or isinstance(item, Exception):
+                        try:
+                            flush_tail()
+                        except Exception as e:
+                            q.put(e)
+                            return
                         q.put(item)
                         return
                     if stop.is_set():
                         return
                     try:
-                        q.put(self.transform(item))
+                        if use_groups:
+                            if (pend and self.group_key is not None
+                                    and self.group_key(item)
+                                    != self.group_key(pend[0])):
+                                flush_tail()  # incompatible (tail) batch
+                            pend.append(item)
+                            if len(pend) == self.group_size:
+                                group = self.group_transform(list(pend))
+                                pend.clear()
+                                q.put(group)
+                        else:
+                            q.put(self.transform(item))
                     except Exception as e:
                         q.put(e)
                         return

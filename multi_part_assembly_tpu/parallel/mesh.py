@@ -34,7 +34,8 @@ def _maybe_augment(batch, key, cfg):
 
 __all__ = ['make_mesh', 'batch_sharding', 'replicated', 'shard_batch',
            'make_train_step', 'make_eval_step', 'make_train_step_stacked',
-           'make_eval_step_stacked', 'init_distributed']
+           'make_eval_step_stacked', 'make_train_step_multi',
+           'init_distributed']
 
 
 def init_distributed():
@@ -209,6 +210,46 @@ def make_train_step_stacked(model, tx, cfg, mesh=None, donate=True,
             step, donate_argnums=(0, ) if donate else ()), log_keys
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, bsh, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0, ) if donate else (),
+    ), log_keys
+
+
+def make_train_step_multi(model, tx, cfg, mesh=None, donate=True,
+                          lr_schedule=None):
+    """N train steps per runtime invocation via `lax.scan`.
+
+    Every jitted call through this runtime's tunnel pays a fixed
+    multi-millisecond invocation overhead (dispatch serialization +
+    scheduling), measured at ~half of a 60ms pn_transformer step; scanning
+    N steps inside ONE executable amortizes it N-fold.  Semantics are
+    IDENTICAL to N sequential `make_train_step_stacked` calls with the
+    same epoch rng: the body folds the rng with `state.step`, which
+    increments through the scan carry exactly as across separate calls.
+
+    Returns (jitted_fn, log_keys); jitted_fn(state, stacked_batches, rng)
+    -> (state, logs [N, M]) where stacked_batches has a leading step axis
+    (see `stack_device_batches`) and N is inferred from it at trace time.
+    """
+    log_keys = []
+
+    def step(state, batches, rng):
+        def body(st, batch):
+            new_st, log_dict = _train_step_body(
+                model, tx, cfg, lr_schedule, st, batch, rng)
+            return new_st, _stack_dict(log_dict, log_keys)
+
+        state2, logs = jax.lax.scan(body, state, batches)
+        return state2, logs
+
+    if mesh is None:
+        return jax.jit(
+            step, donate_argnums=(0, ) if donate else ()), log_keys
+    rep = replicated(mesh)
+    bsh = NamedSharding(mesh, P(None, 'data'))
     return jax.jit(
         step,
         in_shardings=(rep, bsh, rep),

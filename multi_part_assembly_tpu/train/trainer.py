@@ -115,6 +115,10 @@ def _prep_batch(batch, cfg, mesh, rng, augment=True):
     edge-replicated padding (remainder val batches) to be sliced off after
     per-element eval.
     """
+    if '__group__' in batch:  # device-ready G-step group (see group_prep)
+        real_bs = batch['__real_bs__']
+        return {k: v for k, v in batch.items()
+                if k not in ('__real_bs__', '__group__')}, real_bs
     if '__real_bs__' in batch:  # device-ready from the producer thread
         real_bs = batch['__real_bs__']
         batch = {k: v for k, v in batch.items() if k != '__real_bs__'}
@@ -163,18 +167,60 @@ def _prep_batch(batch, cfg, mesh, rng, augment=True):
     return batch, real_bs
 
 
-def install_device_prep(loader, cfg, mesh):
+def install_device_prep(loader, cfg, mesh, group_size=1):
     """Move the host->device hop into `loader`'s producer thread: each
     collated batch is device_put + (for packed wires) expanded there, so
     H2D serialization overlaps the device compute of in-flight steps and
     the consumer's data wait collapses to a queue get.  The enqueued dict
-    carries '__real_bs__' so `_prep_batch` passes it through."""
+    carries '__real_bs__' so `_prep_batch` passes it through.
+
+    With `group_size` > 1 (geometry minimal wire only), the producer
+    stacks G collated batches and ships them in ONE device_put + ONE
+    vmapped expand: each RPC through the remote runtime costs ~2-6ms of
+    host CPU (measured round 3), so per-batch puts made the producer the
+    bottleneck on this 1-core host.  Group dicts carry '__group__' = G
+    and feed `make_train_step_multi`; epoch tails fall back to the
+    per-batch path."""
     def prep(host_batch):
         device_batch, bs = _prep_batch(host_batch, cfg, mesh, None,
                                        augment=False)
         device_batch['__real_bs__'] = bs
         return device_batch
     loader.transform = prep
+    if group_size <= 1:
+        return
+
+    from ..datasets.geometry import expand_geometry_batch_multi
+    from ..parallel.mesh import batch_sharding
+
+    def group_prep(host_batches):
+        if 'part_counts' not in host_batches[0]:
+            raise ValueError('grouped prep requires the geometry packed '
+                             'wire (part_counts)')
+        G = len(host_batches)
+        kmax = max(b['part_pcs_raw__packed'].shape[0] for b in host_batches)
+        n, c = host_batches[0]['part_pcs_raw__packed'].shape[1:]
+        packed = np.zeros((G, kmax, n, c),
+                          host_batches[0]['part_pcs_raw__packed'].dtype)
+        for g, b in enumerate(host_batches):
+            rows = b['part_pcs_raw__packed']
+            packed[g, :rows.shape[0]] = rows
+        counts = np.stack([b['part_counts'] for b in host_batches])
+        dev = jax.device_put({'packed': packed, 'counts': counts},
+                             batch_sharding(mesh))
+        out = expand_geometry_batch_multi(
+            dev['packed'], dev['counts'],
+            max_parts=int(cfg.data.max_num_part),
+            data_keys=tuple(cfg.data.data_keys))
+        out['__group__'] = G
+        out['__real_bs__'] = int(counts.shape[1])
+        return out
+
+    loader.group_size = group_size
+    loader.group_transform = group_prep
+    # only full-size batches group; the epoch-tail remainder batch (and
+    # anything else with a different batch axis) takes the per-batch path
+    loader.group_key = lambda b: b['part_counts'].shape
 
 
 class Trainer:
@@ -186,6 +232,15 @@ class Trainer:
         self.model = build_model(cfg)
         self.train_loader, self.val_loader = build_dataloader(cfg)
         steps_per_epoch = max(1, len(self.train_loader))
+        # steps_per_call: how many train steps ride one lax.scan'd runtime
+        # invocation (grouped H2D + one dispatch).  0 = auto: pays off on
+        # the remote TPU runtime where every RPC costs ~2-6ms of host CPU;
+        # pointless on the local CPU backend tests use.
+        spc = int(cfg.exp.get('steps_per_call', 0) or 0)
+        if spc <= 0:
+            spc = 8 if (getattr(self.train_loader, 'batch_collate', False)
+                        and jax.default_backend() != 'cpu') else 1
+        self.steps_per_call = spc
         if getattr(self.train_loader, 'batch_collate', False):
             from ..datasets.geometry import warm_unpack_cache
             for bs in {cfg.exp.batch_size, cfg.exp.batch_size * 2}:
@@ -194,17 +249,24 @@ class Trainer:
                     mesh=self.mesh, data_keys=tuple(cfg.data.data_keys),
                     wire_dtype=jnp.dtype(
                         cfg.data.get('wire_dtype', 'float16')),
-                    expand=cfg.data.dataset == 'geometry')
+                    expand=cfg.data.dataset == 'geometry',
+                    group_size=self.steps_per_call
+                    if bs == cfg.exp.batch_size else 1)
             # producer-thread device placement (H2D overlaps device compute)
             install_device_prep(self.train_loader, cfg, self.mesh)
             install_device_prep(self.val_loader, cfg, self.mesh)
 
-        # init from one sample batch
+        # init from one sample batch (BEFORE group mode: init needs one
+        # plain augmented batch, not a [G, ...] group)
         rng = jax.random.PRNGKey(cfg.exp.get('seed', 0))
         self._data_rng, init_rng = jax.random.split(rng)
         first = next(iter(self.train_loader))
         init_batch, _ = _prep_batch(first, cfg, self.mesh,
                                     jax.random.PRNGKey(0))
+        if (self.steps_per_call > 1 and cfg.data.dataset == 'geometry'
+                and getattr(self.train_loader, 'batch_collate', False)):
+            install_device_prep(self.train_loader, cfg, self.mesh,
+                                group_size=self.steps_per_call)
         self.state, self.tx, self.lr_schedule = create_train_state(
             self.model, cfg, init_batch, init_rng,
             steps_per_epoch=steps_per_epoch)
@@ -217,6 +279,14 @@ class Trainer:
             lr_schedule=self.lr_schedule)
         self.eval_step, self._eval_log_keys = make_eval_step_stacked(
             self.model, cfg, self.mesh)
+        if self.steps_per_call > 1:
+            from ..parallel.mesh import make_train_step_multi
+            self.train_step_multi, self._train_log_keys_multi = \
+                make_train_step_multi(self.model, self.tx, cfg, self.mesh,
+                                      lr_schedule=self.lr_schedule)
+        else:
+            self.train_step_multi = None
+            self._train_log_keys_multi = self._train_log_keys
 
         self.ckp_dir = ckp_dir or cfg.exp.get('ckp_dir', 'checkpoint/')
         os.makedirs(self.ckp_dir, exist_ok=True)
@@ -281,28 +351,46 @@ class Trainer:
     LOG_FLUSH_STEPS = 32
 
     def _flush_train_logs(self):
-        """Materialize all buffered step-log vectors in ONE stacked fetch
-        and write them to the JSONL logger; returns the last step's log
-        dict (or None if the buffer was empty).
+        """Materialize all buffered step-log arrays in batched stacked
+        fetches and write them to the JSONL logger; returns the last
+        step's log dict (or None if the buffer was empty).
 
-        The stack is always LOG_FLUSH_STEPS-ary (padded by repeating the
-        last vector): each distinct arity would compile its own remote
-        executable (~100s through the compile helper), and flush sizes
-        vary at epoch/validation boundaries."""
+        Buffer entries are (arr, steps, t_data) where arr is [M] (one
+        step) or [G, M] (one `make_train_step_multi` group of G steps).
+        Consecutive same-shape entries stack into one padded
+        LOG_FLUSH_STEPS-ary fetch: the fixed arity keeps the number of
+        distinct remote executables at one per shape (each distinct stack
+        arity would compile its own, ~100s through the compile helper),
+        and flush sizes vary at epoch/validation boundaries."""
         buf = self._log_buf
         if not buf:
             return None
+        # whichever step variant ran filled its (sorted, hence identical)
+        # key list; a grouped epoch may never touch the single-step path
+        keys = self._train_log_keys or self._train_log_keys_multi
         last = None
-        vecs = [v for v, _, _ in buf]
-        vecs += [vecs[-1]] * (self.LOG_FLUSH_STEPS - len(vecs))
-        mats = np.asarray(jnp.stack(vecs))[:len(buf)]  # one fetch
-        for (v, step_no, t_data), row in zip(buf, mats):
-            logs = dict(zip(self._train_log_keys, row.astype(float)))
-            logs['data_time'] = t_data
-            if jax.process_index() == 0:
-                self.logger.log(
-                    {f'train/{k}': v for k, v in logs.items()}, step=step_no)
-            last = logs
+        i = 0
+        while i < len(buf):
+            run = [buf[i]]
+            while (len(run) < self.LOG_FLUSH_STEPS
+                   and i + len(run) < len(buf)
+                   and buf[i + len(run)][0].shape == run[0][0].shape):
+                run.append(buf[i + len(run)])
+            i += len(run)
+            vecs = [v for v, _, _ in run]
+            vecs += [vecs[-1]] * (self.LOG_FLUSH_STEPS - len(vecs))
+            mats = np.asarray(jnp.stack(vecs))[:len(run)]  # one fetch
+            for (v, steps, t_data), mat in zip(run, mats):
+                rows = mat if mat.ndim == 2 else mat[None]
+                for step_no, row in zip(steps, rows):
+                    logs = dict(zip(keys, row.astype(float)))
+                    # a group's queue wait amortizes over its G steps
+                    logs['data_time'] = t_data / len(steps)
+                    if jax.process_index() == 0:
+                        self.logger.log(
+                            {f'train/{k}': v for k, v in logs.items()},
+                            step=step_no)
+                    last = logs
         buf.clear()
         return last
 
@@ -330,12 +418,20 @@ class Trainer:
 
         for batch in self.train_loader:
             t_data = time.perf_counter() - t_last
+            n_steps = int(batch.get('__group__', 1))
             device_batch, _ = _prep_batch(batch, self.cfg, self.mesh,
                                           epoch_rng, augment=False)
-            self.state, log_vec = self.train_step(self.state, device_batch,
-                                                  epoch_rng)
-            self._host_step += 1
-            self._log_buf.append((log_vec, self._host_step, t_data))
+            if n_steps > 1:
+                # G steps in one lax.scan'd dispatch ([G, M] log matrix)
+                self.state, log_arr = self.train_step_multi(
+                    self.state, device_batch, epoch_rng)
+            else:
+                self.state, log_arr = self.train_step(
+                    self.state, device_batch, epoch_rng)
+            steps = tuple(range(self._host_step + 1,
+                                self._host_step + 1 + n_steps))
+            self._host_step += n_steps
+            self._log_buf.append((log_arr, steps, t_data))
             if len(self._log_buf) >= self.LOG_FLUSH_STEPS:
                 last = self._flush_train_logs() or last
             t_last = time.perf_counter()
@@ -420,6 +516,11 @@ class Trainer:
                 batch = next(iter(loader))
             except StopIteration:
                 continue
+            if '__group__' in batch:  # grouped loader: vis one step's batch
+                bs = batch['__real_bs__']
+                batch = {k: v[0] for k, v in batch.items()
+                         if k not in ('__group__', '__real_bs__')}
+                batch['__real_bs__'] = bs
             device_batch, bs = _prep_batch(batch, self.cfg, self.mesh,
                                            jax.random.PRNGKey(epoch))
             gt_pcs, preds = sample_assembly(

@@ -204,6 +204,73 @@ def test_mon_selects_min_sample(rng):
     assert l5 <= l1 + 1e-4
 
 
+def test_multi_step_matches_sequential(rng):
+    """`make_train_step_multi` (G steps in one lax.scan'd executable) is
+    semantically identical to G sequential stacked-step calls with the
+    same epoch rng: the body folds in state.step, which advances through
+    the scan carry exactly as across separate dispatches.  Covers the
+    in-scan device augmentation path (batches carry part_pcs_raw)."""
+    from multi_part_assembly_tpu.parallel.mesh import (
+        make_train_step_multi, make_train_step_stacked)
+    cfg = _make_cfg('pn_transformer')
+    model = build_model(cfg)
+    G = 3
+    raws = []
+    for _ in range(G):
+        b = _fake_batch(rng)
+        raw = {k: v for k, v in b.items()
+               if k not in ('part_pcs', 'part_quat', 'part_trans')}
+        raw['part_pcs_raw'] = jnp.asarray(
+            (rng.randn(8, 4, 32, 3) * 0.3).astype(np.float32))
+        raws.append(raw)
+    state0, tx, _ = create_train_state(
+        model, cfg, _fake_batch(rng), jax.random.PRNGKey(0),
+        steps_per_epoch=10)
+    epoch_rng = jax.random.PRNGKey(7)
+
+    step1, keys1 = make_train_step_stacked(model, tx, cfg, mesh=None,
+                                           donate=False)
+    st = state0
+    seq = []
+    for b in raws:
+        st, v = step1(st, b, epoch_rng)
+        seq.append(np.asarray(v))
+
+    stepG, keysG = make_train_step_multi(model, tx, cfg, mesh=None,
+                                         donate=False)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *raws)
+    stG, logsG = stepG(state0, stacked, epoch_rng)
+
+    assert keys1 == keysG
+    assert int(stG.step) == G
+    np.testing.assert_allclose(np.asarray(logsG), np.stack(seq),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(st.params),
+                    jax.tree_util.tree_leaves(stG.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_expand_geometry_batch_multi_matches_per_batch(rng):
+    """The grouped [G, Kpad, N, 3] expand equals G per-batch expands."""
+    from multi_part_assembly_tpu.datasets.geometry import (
+        expand_geometry_batch, expand_geometry_batch_multi)
+    G, B, P, N = 2, 4, 4, 16
+    packed = (rng.randn(G, B * P, N, 3) * 0.3).astype(np.float16)
+    counts = rng.randint(1, P + 1, (G, B)).astype(np.int32)
+    multi = expand_geometry_batch_multi(
+        jnp.asarray(packed), jnp.asarray(counts), max_parts=P,
+        data_keys=('part_ids', ))
+    for g in range(G):
+        one = expand_geometry_batch(
+            jnp.asarray(packed[g]), jnp.asarray(counts[g]), max_parts=P,
+            data_keys=('part_ids', ))
+        assert set(one) == set(multi)
+        for k in one:
+            np.testing.assert_array_equal(np.asarray(multi[k][g]),
+                                          np.asarray(one[k]), err_msg=k)
+
+
 def test_cosine_schedule_shape():
     sched = cosine_warmup_restarts(1.0, 0.01, first_cycle_steps=100,
                                    warmup_steps=10)

@@ -88,6 +88,36 @@ def test_trainer_fit_val_ckpt_resume(cfg, tmp_path):
     trainer2.close()
 
 
+def test_trainer_grouped_steps(cfg, tmp_path, monkeypatch):
+    """steps_per_call>1 (the TPU remote-runtime configuration): the packed
+    single-device pipeline groups G collated batches into ONE device_put +
+    ONE lax.scan'd G-step dispatch; logging still yields one row per step
+    with consecutive step numbers."""
+    import json
+
+    import jax
+    # packed collation requires a single local device; batch_size=3 makes
+    # gcd(batch, 8 devices)=1 so the mesh's data axis is single-device too
+    monkeypatch.setattr(jax, 'local_device_count', lambda: 1)
+    cfg = cfg.clone()
+    cfg.exp.batch_size = 3
+    cfg.exp.steps_per_call = 2
+    ckp = str(tmp_path / 'run_grouped')
+    trainer = Trainer(cfg, ckp_dir=ckp, quiet=True)
+    assert trainer.steps_per_call == 2
+    assert trainer.train_loader.group_size == 2
+    assert trainer.mesh.shape['data'] == 1
+    trainer.fit()  # 6 shapes / bs 3 = 2 batches -> 1 group x 2 epochs
+    assert int(trainer.state.step) == 4
+    trainer.close()
+    rows = [json.loads(line)
+            for line in open(os.path.join(ckp, 'metrics.jsonl'))]
+    tsteps = [r['step'] for r in rows if 'train/loss' in r]
+    assert tsteps == [1, 2, 3, 4]
+    assert all(np.isfinite(r['train/loss'])
+               for r in rows if 'train/loss' in r)
+
+
 def test_trainer_identity_eval(cfg, tmp_path):
     """Identity model runs weightless (reference test.py:89-90)."""
     cfg = cfg.clone()
