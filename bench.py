@@ -253,23 +253,56 @@ def bench_one(name, spec, n_iters=50):
         through the donated train state."""
         nonlocal state
         steps, data_t, last = 0, 0.0, None
+        phases = {'key': 0.0, 'prep': 0.0, 'dispatch': 0.0, 'kick': 0.0}
+        # the remote runtime starts EXECUTING dispatched work only when the
+        # client flushes (a value fetch) -- without periodic kicks the whole
+        # window's device time serializes after the loop (measured: drain
+        # == sum of all step times, zero overlap with the producer).  A
+        # LAGGED fetch (lag_q keeps kick_lag handles in flight) starts the
+        # pipeline without blocking on the newest step.
+        # defaults from a measured grid (this dataset, v5e): every-2/lag-2
+        # blocking kicks gave 867 samples/s vs 732 no-kick, 801 every-1,
+        # ~810 async-copy kicks
+        kick_every = int(os.environ.get('MPA_BENCH_KICK', '2'))
+        lag_q = []
+        kick_lag = int(os.environ.get('MPA_BENCH_LAG', '2'))
         t0 = time.perf_counter()
+        n_disp = 0
         while steps < n_steps:
             td = time.perf_counter()
             host = next(stream)
-            data_t += time.perf_counter() - td
+            t1 = time.perf_counter()
+            data_t += t1 - td
             g = int(host.get('__group__', 1))
-            batch, _ = _prep_batch(host, cfg, mesh,
-                                   jax.random.PRNGKey(key0 + steps),
-                                   augment=False)
+            key = jax.random.PRNGKey(key0 + steps)
+            t2 = time.perf_counter()
+            batch, _ = _prep_batch(host, cfg, mesh, key, augment=False)
+            t3 = time.perf_counter()
             if g > 1:
-                state, last = train_step_multi(
-                    state, batch, jax.random.PRNGKey(key0 + steps))
+                state, last = train_step_multi(state, batch, key)
             else:
-                state, last = train_step(
-                    state, batch, jax.random.PRNGKey(key0 + steps))
+                state, last = train_step(state, batch, key)
+            t4 = time.perf_counter()
+            phases['key'] += t2 - t1
+            phases['prep'] += t3 - t2
+            phases['dispatch'] += t4 - t3
             steps += g
+            n_disp += 1
+            if kick_every and n_disp % kick_every == 0:
+                if os.environ.get('MPA_BENCH_KICK_ASYNC'):
+                    last.copy_to_host_async()  # non-blocking flush?
+                else:
+                    lag_q.append(last)
+                    if len(lag_q) > kick_lag:
+                        float(np.asarray(lag_q.pop(0)).reshape(-1)[0])
+            phases['kick'] += time.perf_counter() - t4
+        td = time.perf_counter()
         float(np.asarray(last).reshape(-1)[0])  # drain the chain
+        phases['drain'] = time.perf_counter() - td
+        if os.environ.get('MPA_BENCH_TIMING'):
+            import sys
+            print({k: round(v / steps * 1e3, 2) for k, v in phases.items()},
+                  f'(ms/step, window of {steps})', file=sys.stderr)
         return time.perf_counter() - t0, data_t, steps
 
     run_window(max(2, 2 * spc), key0=1)  # warmup (incl. multi-step compile)
@@ -327,6 +360,10 @@ def main():
         'vs_baseline_note': 'baseline is an ESTIMATE (~150 samples/s, '
                             'A100 fp16); reference publishes no throughput',
         'pipeline': 'loader+native-sampler+H2D+fused-augment included',
+        'dataset': 'synthetic-everyday v2: 512 shapes, realistic part-count '
+                   'mix with a 10-20-part tail (chamfer cost ~P^2; rounds '
+                   '<=2 benched an easier 128-shape low-P mix -- cross-round '
+                   'sps are not comparable)',
         'models': rows,
     }))
 

@@ -349,6 +349,17 @@ class Trainer:
     # flush (measured: 7 pipelined steps run in 1.5ms/step, but one
     # blocking fetch per step makes the same loop 150-300ms/step)
     LOG_FLUSH_STEPS = 32
+    # execution kicks: the remote runtime starts EXECUTING dispatched work
+    # only when the client flushes (measured round 3: with no mid-epoch
+    # fetch, the device sat idle through the whole dispatch loop and the
+    # entire epoch's compute serialized into the final drain).  Every
+    # KICK_EVERY dispatches, ONE value of a log handle KICK_LAG dispatches
+    # old is fetched: the lag keeps the fetch from blocking on fresh work,
+    # the flush starts the pipeline, and the ~100ms flush cost amortizes.
+    # (Tuned on bench.py: every-2/lag-2 gave 867 vs 732 samples/s for
+    # no-kick; per-dispatch or deeper lags were worse.)  No-op on CPU.
+    KICK_EVERY = 2
+    KICK_LAG = 2
 
     def _flush_train_logs(self):
         """Materialize all buffered step-log arrays in batched stacked
@@ -415,6 +426,8 @@ class Trainer:
         epoch_rng = self._next_rng()
         t_last = time.perf_counter()
         last = None
+        kick = jax.default_backend() != 'cpu'
+        lag_q, n_disp = [], 0
 
         for batch in self.train_loader:
             t_data = time.perf_counter() - t_last
@@ -432,6 +445,12 @@ class Trainer:
                                 self._host_step + 1 + n_steps))
             self._host_step += n_steps
             self._log_buf.append((log_arr, steps, t_data))
+            n_disp += 1
+            if kick and n_disp % self.KICK_EVERY == 0:
+                lag_q.append(log_arr)
+                if len(lag_q) > self.KICK_LAG:
+                    # lagged one-value fetch = execution kick (see above)
+                    float(np.asarray(lag_q.pop(0)).reshape(-1)[0])
             if len(self._log_buf) >= self.LOG_FLUSH_STEPS:
                 last = self._flush_train_logs() or last
             t_last = time.perf_counter()
@@ -445,19 +464,24 @@ class Trainer:
         `sync_dist=True`)."""
         sums, weights = {}, 0.0
         # dispatch-only loop: per-batch [M, B] log matrices stay on device
-        # (every host sync costs a ~100ms runtime flush); a periodic
-        # SCALAR VALUE fetch bounds how many queued INPUT batches pile up
-        # in HBM (block_until_ready is a no-op under the remote runtime --
-        # it confirms dispatch, not execution), and everything
-        # materializes in one stacked fetch
+        # (every host sync costs a ~100ms runtime flush); lagged execution
+        # kicks (see KICK_EVERY) start device execution mid-loop -- the
+        # remote runtime otherwise defers ALL execution to the final
+        # stacked fetch -- and bound how many queued INPUT batches pile up
+        # in HBM (block_until_ready is a no-op under the remote runtime:
+        # it confirms dispatch, not execution)
         done = []
+        kick = jax.default_backend() != 'cpu'
+        lag_q = []
         for batch in loader:
             rng = self._next_rng()
             device_batch, bs = _prep_batch(batch, self.cfg, self.mesh, rng,
                                            augment=False)
             done.append((self.eval_step(self.state, device_batch, rng), bs))
-            if len(done) % 32 == 0:
-                float(np.asarray(done[-1][0].reshape(-1)[0]))
+            if kick and len(done) % self.KICK_EVERY == 0:
+                lag_q.append(done[-1][0])
+                if len(lag_q) > self.KICK_LAG:
+                    float(np.asarray(lag_q.pop(0)).reshape(-1)[0])
         if not done:
             return {}
         # group consecutive same-shape matrices so each group stacks into
