@@ -37,6 +37,8 @@ def main():
     parser.add_argument('--category', type=str, default='all')
     args = parser.parse_args()
 
+    from multi_part_assembly_tpu.parallel import init_distributed
+    init_distributed()  # honors MPA_PLATFORM / MPA_NUM_CPU_DEVICES
     from multi_part_assembly_tpu.train.trainer import Trainer
     from multi_part_assembly_tpu.utils import load_cfg_file
 

@@ -38,6 +38,8 @@ def main():
     parser.add_argument('--max_num_part', type=int, default=-1)
     args = parser.parse_args()
 
+    from multi_part_assembly_tpu.parallel import init_distributed
+    init_distributed()  # honors MPA_PLATFORM / MPA_NUM_CPU_DEVICES
     from multi_part_assembly_tpu.utils import load_cfg_file
 
     cfg = load_cfg_file(args.cfg_file)

@@ -33,6 +33,9 @@ def main():
     parser.add_argument('--out_dir', type=str, default='vis_out')
     args = parser.parse_args()
 
+    from multi_part_assembly_tpu.parallel import init_distributed
+    init_distributed()  # honors MPA_PLATFORM / MPA_NUM_CPU_DEVICES
+
     import jax
 
     from multi_part_assembly_tpu.datasets.mesh_io import (
