@@ -25,9 +25,48 @@ from ..parallel.mesh import (make_eval_step_stacked, make_mesh,
                              make_train_step_stacked, shard_batch)
 from .state import create_train_state
 
-__all__ = ['Trainer', 'JSONLLogger', 'WandbLogger', 'build_logger']
+__all__ = ['Trainer', 'JSONLLogger', 'WandbLogger', 'build_logger',
+           'ExecutionKicker']
 
 _DROP_KEYS = ('data_id', 'shape_id')  # host-only metadata
+
+
+class ExecutionKicker:
+    """Lagged value-fetch kicks for the remote runtime.
+
+    The axon runtime DEFERS EXECUTION of dispatched computations until the
+    client flushes (any host value fetch): a dispatch-only loop leaves the
+    device idle and the whole backlog serializes into the final fetch
+    (measured round 3; jax.block_until_ready does NOT flush).  Every
+    `every` dispatched handles, ONE value of a handle `lag` notes old is
+    fetched: the flush starts device execution mid-loop, the lag keeps the
+    fetch from blocking on fresh work, and the ~100ms per-flush runtime
+    overhead amortizes.  Tuned on bench.py (every-2/lag-2: 867 vs 732
+    samples/s no-kick; per-dispatch kicks or deeper lags were worse).
+
+    `enabled=None` auto-disables on the CPU backend (eager-ish execution,
+    kicks are pure overhead there)."""
+
+    def __init__(self, every=2, lag=2, enabled=None):
+        self.every = max(1, every)
+        self.lag = max(1, lag)
+        self.enabled = (jax.default_backend() != 'cpu'
+                        if enabled is None else enabled)
+        self._q = []
+        self._n = 0
+        self.kicked = 0  # fetches issued (observability/tests)
+
+    def note(self, handle):
+        """Register a dispatched device array; may issue one lagged fetch."""
+        if not self.enabled:
+            return
+        self._n += 1
+        if self._n % self.every:
+            return
+        self._q.append(handle)
+        if len(self._q) > self.lag:
+            float(np.asarray(self._q.pop(0)).reshape(-1)[0])
+            self.kicked += 1
 
 
 class JSONLLogger:
@@ -349,15 +388,7 @@ class Trainer:
     # flush (measured: 7 pipelined steps run in 1.5ms/step, but one
     # blocking fetch per step makes the same loop 150-300ms/step)
     LOG_FLUSH_STEPS = 32
-    # execution kicks: the remote runtime starts EXECUTING dispatched work
-    # only when the client flushes (measured round 3: with no mid-epoch
-    # fetch, the device sat idle through the whole dispatch loop and the
-    # entire epoch's compute serialized into the final drain).  Every
-    # KICK_EVERY dispatches, ONE value of a log handle KICK_LAG dispatches
-    # old is fetched: the lag keeps the fetch from blocking on fresh work,
-    # the flush starts the pipeline, and the ~100ms flush cost amortizes.
-    # (Tuned on bench.py: every-2/lag-2 gave 867 vs 732 samples/s for
-    # no-kick; per-dispatch or deeper lags were worse.)  No-op on CPU.
+    # execution-kick cadence (see ExecutionKicker)
     KICK_EVERY = 2
     KICK_LAG = 2
 
@@ -426,8 +457,7 @@ class Trainer:
         epoch_rng = self._next_rng()
         t_last = time.perf_counter()
         last = None
-        kick = jax.default_backend() != 'cpu'
-        lag_q, n_disp = [], 0
+        kicker = ExecutionKicker(self.KICK_EVERY, self.KICK_LAG)
 
         for batch in self.train_loader:
             t_data = time.perf_counter() - t_last
@@ -445,12 +475,7 @@ class Trainer:
                                 self._host_step + 1 + n_steps))
             self._host_step += n_steps
             self._log_buf.append((log_arr, steps, t_data))
-            n_disp += 1
-            if kick and n_disp % self.KICK_EVERY == 0:
-                lag_q.append(log_arr)
-                if len(lag_q) > self.KICK_LAG:
-                    # lagged one-value fetch = execution kick (see above)
-                    float(np.asarray(lag_q.pop(0)).reshape(-1)[0])
+            kicker.note(log_arr)
             if len(self._log_buf) >= self.LOG_FLUSH_STEPS:
                 last = self._flush_train_logs() or last
             t_last = time.perf_counter()
@@ -471,17 +496,13 @@ class Trainer:
         # in HBM (block_until_ready is a no-op under the remote runtime:
         # it confirms dispatch, not execution)
         done = []
-        kick = jax.default_backend() != 'cpu'
-        lag_q = []
+        kicker = ExecutionKicker(self.KICK_EVERY, self.KICK_LAG)
         for batch in loader:
             rng = self._next_rng()
             device_batch, bs = _prep_batch(batch, self.cfg, self.mesh, rng,
                                            augment=False)
             done.append((self.eval_step(self.state, device_batch, rng), bs))
-            if kick and len(done) % self.KICK_EVERY == 0:
-                lag_q.append(done[-1][0])
-                if len(lag_q) > self.KICK_LAG:
-                    float(np.asarray(lag_q.pop(0)).reshape(-1)[0])
+            kicker.note(done[-1][0])
         if not done:
             return {}
         # group consecutive same-shape matrices so each group stacks into

@@ -118,6 +118,26 @@ def test_trainer_grouped_steps(cfg, tmp_path, monkeypatch):
                for r in rows if 'train/loss' in r)
 
 
+def test_execution_kicker():
+    """Lagged kick cadence: with every=2/lag=2, fetches start at the 3rd
+    noted handle (6th dispatch) and each fetch targets a handle 2 notes
+    old (never the freshest work)."""
+    import jax.numpy as jnp
+
+    from multi_part_assembly_tpu.train.trainer import ExecutionKicker
+    k = ExecutionKicker(every=2, lag=2, enabled=True)
+    for i in range(10):
+        k.note(jnp.full((3, ), float(i)))
+    # 10 dispatches -> 5 noted -> queue holds the last 2, 3 fetched
+    assert k.kicked == 3
+    assert len(k._q) == 2
+    # disabled: never touches handles (pass something unfetchable)
+    k2 = ExecutionKicker(enabled=False)
+    for _ in range(10):
+        k2.note(object())
+    assert k2.kicked == 0
+
+
 def test_trainer_identity_eval(cfg, tmp_path):
     """Identity model runs weightless (reference test.py:89-90)."""
     cfg = cfg.clone()
