@@ -51,7 +51,7 @@ FAMILIES = {
         epochs=400, threshold=0.9),
     'global': dict(
         cfg='configs/global/global-32x1-cosine_200e-everyday.py',
-        epochs=400, threshold=0.9),
+        epochs=800, threshold=0.9),  # 400 peaked at 0.75; 800 -> 0.92
     'lstm': dict(
         cfg='configs/lstm/lstm-32x1-cosine_200e-everyday.py',
         epochs=400, threshold=0.75),
@@ -60,7 +60,9 @@ FAMILIES = {
         epochs=400, threshold=0.75),
     'rgl_net': dict(
         cfg='configs/rgl_net/rgl_net-32x1-cosine_200e-everyday.py',
-        epochs=400, threshold=0.75),
+        # slowest memorizer of the zoo (per-iter Bi-GRU + random hidden
+        # init): 400 epochs -> 0.25, 1200 -> 1.0
+        epochs=1600, threshold=0.75),
     'identity': dict(
         cfg='configs/identity/identity-32x1-cosine_200e-everyday.py',
         eval_only=True),
