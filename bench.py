@@ -258,14 +258,17 @@ def bench_one(name, spec, n_iters=50):
         # client flushes (a value fetch) -- without periodic kicks the whole
         # window's device time serializes after the loop (measured: drain
         # == sum of all step times, zero overlap with the producer).  A
-        # LAGGED fetch (lag_q keeps kick_lag handles in flight) starts the
-        # pipeline without blocking on the newest step.
+        # LAGGED fetch (the kicker keeps kick_lag handles in flight) starts
+        # the pipeline without blocking on the newest step.
         # defaults from a measured grid (this dataset, v5e): every-2/lag-2
         # blocking kicks gave 867 samples/s vs 732 no-kick, 801 every-1,
         # ~810 async-copy kicks
+        from multi_part_assembly_tpu.train.trainer import ExecutionKicker
         kick_every = int(os.environ.get('MPA_BENCH_KICK', '2'))
-        lag_q = []
         kick_lag = int(os.environ.get('MPA_BENCH_LAG', '2'))
+        kicker = ExecutionKicker(
+            every=kick_every, lag=kick_lag, enabled=bool(kick_every),
+            threaded=bool(os.environ.get('MPA_BENCH_KICK_THREAD')))
         t0 = time.perf_counter()
         n_disp = 0
         while steps < n_steps:
@@ -288,16 +291,15 @@ def bench_one(name, spec, n_iters=50):
             phases['dispatch'] += t4 - t3
             steps += g
             n_disp += 1
-            if kick_every and n_disp % kick_every == 0:
-                if os.environ.get('MPA_BENCH_KICK_ASYNC'):
+            if kick_every and os.environ.get('MPA_BENCH_KICK_ASYNC'):
+                if n_disp % kick_every == 0:
                     last.copy_to_host_async()  # non-blocking flush?
-                else:
-                    lag_q.append(last)
-                    if len(lag_q) > kick_lag:
-                        float(np.asarray(lag_q.pop(0)).reshape(-1)[0])
+            else:
+                kicker.note(last)
             phases['kick'] += time.perf_counter() - t4
         td = time.perf_counter()
         float(np.asarray(last).reshape(-1)[0])  # drain the chain
+        kicker.close()
         phases['drain'] = time.perf_counter() - td
         if os.environ.get('MPA_BENCH_TIMING'):
             import sys

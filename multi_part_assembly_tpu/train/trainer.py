@@ -45,9 +45,15 @@ class ExecutionKicker:
     samples/s no-kick; per-dispatch kicks or deeper lags were worse).
 
     `enabled=None` auto-disables on the CPU backend (eager-ish execution,
-    kicks are pure overhead there)."""
+    kicks are pure overhead there).
 
-    def __init__(self, every=2, lag=2, enabled=None):
+    `threaded=True` moves the blocking fetch onto a daemon worker thread:
+    the dispatch loop only enqueues the handle, so the ~100ms flush RPC
+    overlaps the next dispatches instead of stalling them (the fetch
+    releases the GIL while waiting on the runtime).  A small bounded
+    queue applies backpressure if the runtime falls behind."""
+
+    def __init__(self, every=2, lag=2, enabled=None, threaded=False):
         self.every = max(1, every)
         self.lag = max(1, lag)
         self.enabled = (jax.default_backend() != 'cpu'
@@ -55,6 +61,30 @@ class ExecutionKicker:
         self._q = []
         self._n = 0
         self.kicked = 0  # fetches issued (observability/tests)
+        self.threaded = threaded and self.enabled
+        self._fetch_q = None
+        if self.threaded:
+            import queue
+            import threading
+            self._fetch_q = queue.Queue(maxsize=4)
+            t = threading.Thread(target=self._drain, daemon=True,
+                                 name='execution-kicker')
+            t.start()
+
+    def _fetch(self, handle):
+        float(np.asarray(handle).reshape(-1)[0])
+        self.kicked += 1
+
+    def _drain(self):
+        while True:
+            h = self._fetch_q.get()
+            try:
+                if h is not None:
+                    self._fetch(h)
+            finally:
+                self._fetch_q.task_done()
+            if h is None:  # close() sentinel
+                return
 
     def note(self, handle):
         """Register a dispatched device array; may issue one lagged fetch."""
@@ -65,8 +95,26 @@ class ExecutionKicker:
             return
         self._q.append(handle)
         if len(self._q) > self.lag:
-            float(np.asarray(self._q.pop(0)).reshape(-1)[0])
-            self.kicked += 1
+            h = self._q.pop(0)
+            if self.threaded:
+                self._fetch_q.put(h)
+            else:
+                self._fetch(h)
+
+    def sync(self):
+        """Wait until all enqueued threaded fetches have completed."""
+        if self._fetch_q is not None:
+            self._fetch_q.join()
+
+    def close(self):
+        """Finish queued fetches and stop the worker thread (callers that
+        construct one kicker per epoch must close it, or threads pile up
+        across epochs).  No-op when not threaded."""
+        if self._fetch_q is not None:
+            self._fetch_q.put(None)
+            self._fetch_q.join()
+            self._fetch_q = None
+            self.threaded = False
 
 
 class JSONLLogger:
@@ -391,6 +439,7 @@ class Trainer:
     # execution-kick cadence (see ExecutionKicker)
     KICK_EVERY = 2
     KICK_LAG = 2
+    KICK_THREADED = False  # flip via bench evidence (MPA_BENCH_KICK_THREAD)
 
     def _flush_train_logs(self):
         """Materialize all buffered step-log arrays in batched stacked
@@ -457,7 +506,8 @@ class Trainer:
         epoch_rng = self._next_rng()
         t_last = time.perf_counter()
         last = None
-        kicker = ExecutionKicker(self.KICK_EVERY, self.KICK_LAG)
+        kicker = ExecutionKicker(self.KICK_EVERY, self.KICK_LAG,
+                                 threaded=self.KICK_THREADED)
 
         for batch in self.train_loader:
             t_data = time.perf_counter() - t_last
@@ -479,6 +529,7 @@ class Trainer:
             if len(self._log_buf) >= self.LOG_FLUSH_STEPS:
                 last = self._flush_train_logs() or last
             t_last = time.perf_counter()
+        kicker.close()
         return last
 
     def _eval_loop(self, loader, prefix):
@@ -496,13 +547,15 @@ class Trainer:
         # in HBM (block_until_ready is a no-op under the remote runtime:
         # it confirms dispatch, not execution)
         done = []
-        kicker = ExecutionKicker(self.KICK_EVERY, self.KICK_LAG)
+        kicker = ExecutionKicker(self.KICK_EVERY, self.KICK_LAG,
+                                 threaded=self.KICK_THREADED)
         for batch in loader:
             rng = self._next_rng()
             device_batch, bs = _prep_batch(batch, self.cfg, self.mesh, rng,
                                            augment=False)
             done.append((self.eval_step(self.state, device_batch, rng), bs))
             kicker.note(done[-1][0])
+        kicker.close()
         if not done:
             return {}
         # group consecutive same-shape matrices so each group stacks into

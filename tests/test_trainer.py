@@ -137,6 +137,17 @@ def test_execution_kicker():
         k2.note(object())
     assert k2.kicked == 0
 
+    # threaded: same cadence, fetches happen on the worker thread;
+    # close() drains the queue and stops the worker
+    k3 = ExecutionKicker(every=2, lag=2, enabled=True, threaded=True)
+    for i in range(10):
+        k3.note(jnp.full((3, ), float(i)))
+    k3.sync()
+    assert k3.kicked == 3
+    k3.close()
+    assert not k3.threaded
+    k3.close()  # idempotent
+
 
 def test_trainer_identity_eval(cfg, tmp_path):
     """Identity model runs weightless (reference test.py:89-90)."""
