@@ -350,9 +350,29 @@ def main():
     names = [n for n in only.split(',') if n] or list(BENCH_MODELS)
     rows = {}
     for name in names:
-        rows[name] = bench_one(name, BENCH_MODELS[name])
+        # one bad row must not kill the whole bench (the driver records
+        # the single JSON line; the primary metric should survive, e.g.,
+        # a transient tunnel failure on a later row)
+        try:
+            rows[name] = bench_one(name, BENCH_MODELS[name])
+        except Exception as e:  # noqa: BLE001
+            import traceback
+            traceback.print_exc()
+            rows[name] = {'error': f'{type(e).__name__}: {e}'}
 
     primary = rows.get(PRIMARY) or next(iter(rows.values()))
+    if 'samples_per_sec_per_chip' not in primary:
+        ok = [r for r in rows.values() if 'samples_per_sec_per_chip' in r]
+        if not ok:
+            print(json.dumps({
+                'metric':
+                    'pn_transformer_everyday_train_samples_per_sec_per_chip',
+                'value': 0.0, 'unit': 'samples/s/chip', 'vs_baseline': 0.0,
+                'error': primary.get('error', 'all rows failed'),
+                'models': rows,
+            }))
+            raise SystemExit(1)
+        primary = ok[0]
     sps = primary['samples_per_sec_per_chip']
     print(json.dumps({
         'metric': 'pn_transformer_everyday_train_samples_per_sec_per_chip',
