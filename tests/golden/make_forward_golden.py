@@ -135,6 +135,30 @@ def main():
         out['gl_rot'] = g_rot.numpy()
         out['gl_trans'] = g_trans.numpy()
 
+        # --- packed bidirectional GRU (the RNNWrapper path the LSTM /
+        # RGL-NET families ride, reference models/modules/rnn.py:6-46 +
+        # b_lstm/seq2seq.py:118-141): torch gate order (r|z|n) and the
+        # b_ih/b_hh bias split must map exactly onto flax GRUCell's
+        # merged-bias formulation; this fixture pins that mapping ---
+        from torch.nn.utils.rnn import (pack_padded_sequence,
+                                        pad_packed_sequence)
+        H = C  # hidden == feat dim, like seq2seq encoder
+        gru = torch.nn.GRU(C, H, num_layers=2, batch_first=True,
+                           bidirectional=True).eval()
+        randomize(gru, 300)
+        dump_state('gru', gru, out)
+        gru_x = (rng.randn(B, P, C) * 0.4).astype(np.float32)
+        gru_x *= valids[:, :, None]
+        out['gru_x'] = gru_x
+        packed = pack_padded_sequence(
+            torch.as_tensor(gru_x), torch.as_tensor(NPARTS),
+            batch_first=True, enforce_sorted=False)
+        y, h_n = gru(packed)
+        y, _ = pad_packed_sequence(y, batch_first=True, total_length=P)
+        out['gru_out'] = y.numpy()
+        # [num_layers*2, B, H] -> [num_layers, 2, B, H]
+        out['gru_hn'] = h_n.reshape(2, 2, B, H).numpy()
+
     np.savez(OUT, **out)
     print(f'wrote {OUT} ({len(out)} arrays)')
     print('pn_rot[0,0]:', np.round(out['pn_rot'][0, 0], 5))

@@ -160,6 +160,56 @@ def test_pn_transformer_forward_parity(g):
     _check_valid(out['trans'], g['pn_trans'], g['valids'], 1e-4)
 
 
+def _map_gru(sd, prefix, num_layers=2, bidirectional=True):
+    """torch nn.GRU state_dict -> flax MaskedGRU params.
+
+    torch packs gates as rows (r|z|n) of weight_ih/weight_hh [3H, in] with
+    separate b_ih/b_hh; flax GRUCell (ir/iz/in + hr/hz/hn Denses) merges
+    the r/z biases (b_ir+b_hr) since those linears are summed, but keeps
+    b_in (-> in.bias) and b_hn (-> hn.bias) apart because r multiplies the
+    hidden linear before the sum."""
+    p = {}
+    for layer in range(num_layers):
+        for d in range(2 if bidirectional else 1):
+            sfx = f'_l{layer}' + ('_reverse' if d else '')
+            wi = sd[f'{prefix}.weight_ih{sfx}']  # [3H, in]
+            wh = sd[f'{prefix}.weight_hh{sfx}']  # [3H, H]
+            bi = sd[f'{prefix}.bias_ih{sfx}']
+            bh = sd[f'{prefix}.bias_hh{sfx}']
+            H = wh.shape[1]
+            s = {k: slice(i * H, (i + 1) * H)
+                 for i, k in enumerate(('r', 'z', 'n'))}
+            p[f'l{layer}_d{d}'] = {'cell': {
+                'ir': {'kernel': jnp.asarray(wi[s['r']].T),
+                       'bias': jnp.asarray(bi[s['r']] + bh[s['r']])},
+                'iz': {'kernel': jnp.asarray(wi[s['z']].T),
+                       'bias': jnp.asarray(bi[s['z']] + bh[s['z']])},
+                'in': {'kernel': jnp.asarray(wi[s['n']].T),
+                       'bias': jnp.asarray(bi[s['n']])},
+                'hr': {'kernel': jnp.asarray(wh[s['r']].T)},
+                'hz': {'kernel': jnp.asarray(wh[s['z']].T)},
+                'hn': {'kernel': jnp.asarray(wh[s['n']].T),
+                       'bias': jnp.asarray(bh[s['n']])},
+            }}
+    return p
+
+
+def test_masked_gru_forward_parity(g):
+    """MaskedGRU vs torch packed bidirectional 2-layer nn.GRU (the
+    RNNWrapper path of the LSTM / RGL-NET families): pins gate order,
+    bias split, packed-sequence output zeros and per-direction h_n."""
+    from multi_part_assembly_tpu.models.modules.rnn import MaskedGRU
+    gru = MaskedGRU(hidden_size=C, num_layers=2, bidirectional=True)
+    params = _map_gru(g, 'gru')
+    x = jnp.asarray(g['gru_x'])
+    valids = jnp.asarray(g['valids'])
+    out, h_n = gru.apply({'params': params}, x, valids=valids, train=False)
+    np.testing.assert_allclose(np.asarray(out), g['gru_out'],
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(h_n), g['gru_hn'],
+                               atol=1e-5, rtol=1e-4)
+
+
 def test_global_forward_parity(g):
     model = GlobalModel(rot_type='quat', pc_feat_dim=C,
                         encoder_arch='pointnet', noise_dim=0)
