@@ -44,9 +44,13 @@ class _DecoderStep(nn.Module):
         mid = nn.Dropout(0.2, deterministic=not self.train,
                          name='drop_mid')(nh1)  # torch inter-layer dropout
         nh2, _ = nn.GRUCell(features=self.hidden_size, name='cell1')(h2, mid)
-        # output head reads the FIRST layer's hidden (seq2seq.py:115-118)
+        # output head reads the FIRST layer's hidden (seq2seq.py:115-118).
+        # The reference's linear1 is Linear -> nn.LeakyReLU(True) -> Linear
+        # (seq2seq.py:84-88); LeakyReLU's first positional arg is
+        # negative_slope, so True == slope 1.0 == the IDENTITY -- the
+        # published model has NO activation here.  Matched exactly (two
+        # Linears, no activation) for weight-transplant parity.
         oc = nn.Dense(256, name='lin1a')(nh1)
-        oc = nn.leaky_relu(oc, 0.01)
         out_code = nn.Dense(self.input_size, name='lin1b')(oc)
         st = nn.Dense(128, name='lin3a')(nh1)
         st = nn.relu(st)
@@ -65,8 +69,13 @@ class Seq2Seq(nn.Module):
     teacher_forcing_ratio: float = 0.5
 
     @nn.compact
-    def __call__(self, input_seq, target_seq, valids=None, train=True):
-        """input_seq/target_seq: [B, P, C].  Returns [B, P, C] outputs."""
+    def __call__(self, input_seq, target_seq, valids=None, train=True,
+                 hidden_noise=None):
+        """input_seq/target_seq: [B, P, C].  Returns [B, P, C] outputs.
+
+        `hidden_noise` overrides the [2, B, noise_dim] decoder hidden
+        noise (reference seq2seq.py:211-220 draws it via np.random) --
+        used for reproducible eval and weight-transplant parity tests."""
         B, P, C = input_seq.shape
         # --- encoder ---
         _, hidden = MaskedGRU(
@@ -74,9 +83,11 @@ class Seq2Seq(nn.Module):
             dropout=0.2, name='encoder')(input_seq, None, valids, train)
         # [2 layers, 2 dirs, B, H] -> concat dirs -> [2, B, 2H]
         enc_hidden = jnp.concatenate([hidden[:, 0], hidden[:, 1]], axis=-1)
-        noise = jax.random.normal(
-            self.make_rng('noise'), (2, B, self.noise_dim), input_seq.dtype)
-        dec_hidden = jnp.concatenate([enc_hidden, noise], axis=-1)
+        if hidden_noise is None:
+            hidden_noise = jax.random.normal(
+                self.make_rng('noise'), (2, B, self.noise_dim),
+                input_seq.dtype)
+        dec_hidden = jnp.concatenate([enc_hidden, hidden_noise], axis=-1)
 
         # --- decoder ---
         teacher_force = jax.random.bernoulli(

@@ -63,6 +63,23 @@ def dump_state(prefix, module, out):
             out[f'{prefix}.{k}'] = v.detach().numpy()
 
 
+def quantize_f16(module):
+    """Round every float param/buffer to its nearest f16 value (still held
+    as f32): lets the fixture store f16 weights while both frameworks
+    compute from bit-identical f32 values."""
+    sd = module.state_dict()
+    for k, v in sd.items():
+        if torch.is_floating_point(v):
+            sd[k] = v.half().float()
+    module.load_state_dict(sd)
+
+
+def dump_state_f16(prefix, module, out):
+    for k, v in module.state_dict().items():
+        if torch.is_floating_point(v):
+            out[f'{prefix}.{k}'] = v.detach().numpy().astype(np.float16)
+
+
 def main():
     install_stubs()
     # the encoder package eagerly imports the CUDA pointnet2_ops extension
@@ -158,6 +175,135 @@ def main():
         out['gru_out'] = y.numpy()
         # [num_layers*2, B, H] -> [num_layers, 2, B, H]
         out['gru_hn'] = h_n.reshape(2, 2, B, H).numpy()
+
+    # --- composed DGL forward (dgl/network.py:153-240, eval mode) ---
+    # The reference's 512-wide MLP3/MLP4 hiddens are hardcoded, so the DGL
+    # weights dominate the fixture; they are rounded to f16 BEFORE the
+    # torch run and stored as f16 (both frameworks then compute from
+    # identical f32 values) to halve the npz.
+    from multi_part_assembly.models.dgl.modules import (MLP3, MLP4,
+                                                        PoseEncoder,
+                                                        RelationNet)
+    ITERS, POSE = 3, 7  # quat + trans
+    d_enc = PointNet(feat_dim=C, global_feat=True).eval()
+    edge_mlps = [MLP3(C).eval() for _ in range(ITERS)]
+    node_mlps = [MLP4(C).eval() for _ in range(ITERS)]
+    heads = [StocasticPoseRegressor(feat_dim=C + POSE + P, noise_dim=0,
+                                    rot_type='quat').eval()
+             for _ in range(ITERS)]
+    rel_dense = RelationNet().eval()
+    rel_merge = RelationNet().eval()
+    pose_enc = PoseEncoder(POSE).eval()
+    mods = ([d_enc, rel_dense, rel_merge, pose_enc] + edge_mlps + node_mlps
+            + heads)
+    for seed, m in enumerate(mods):
+        randomize(m, 400 + seed)
+        quantize_f16(m)
+    dump_state_f16('denc', d_enc, out)
+    dump_state_f16('drel_dense', rel_dense, out)
+    dump_state_f16('drel_merge', rel_merge, out)
+    dump_state_f16('dpose_enc', pose_enc, out)
+    for i in range(ITERS):
+        dump_state_f16(f'dedge{i}', edge_mlps[i], out)
+        dump_state_f16(f'dnode{i}', node_mlps[i], out)
+        dump_state_f16(f'dhead{i}', heads[i], out)
+
+    # semantic inputs: part_ids with a non-adjacent equivalence class in
+    # batch 1 ([7, 3, 7] -> parts 0 and 2 merge), instance_label [B, P, P]
+    part_ids = np.array([[5, 5, 0, 0], [7, 3, 7, 0]], dtype=np.int64)
+    inst = np.zeros((B, P, P), np.float32)
+    for b in range(B):
+        for j in range(NPARTS[b]):
+            inst[b, j, j] = 1.0
+    vm = np.zeros((B, P, P), np.float32)
+    for b in range(B):
+        vm[b, :NPARTS[b], :NPARTS[b]] = 1.0  # ref partnet_data.py:228-232
+    out['dgl_part_ids'] = part_ids
+    out['dgl_instance_label'] = inst
+    out['dgl_valid_matrix'] = vm
+
+    t_vm = torch.as_tensor(vm)
+    t_inst = torch.as_tensor(inst)
+    t_plabel = torch.zeros(B, P, 0)
+    # class_list built like network.py:76-88 (valids are a prefix, so
+    # compacted indices == original indices)
+    class_list = []
+    for b in range(B):
+        ids = part_ids[b][: NPARTS[b]]
+        class_list.append([np.where(ids == lbl)[0]
+                           for lbl in np.unique(ids)])
+
+    with torch.no_grad():
+        d_valid_feats = d_enc(t_pcs[valid_mask])
+        part_feats = torch.zeros(B, P, C)
+        part_feats[valid_mask] = d_valid_feats
+        pred_pose = torch.zeros(B, P, POSE)
+        pred_pose[..., 0] = 1.0  # zero_pose (base_model.py:32-34)
+        for it in range(ITERS):
+            if it >= 1:
+                pose_feats = pose_enc(pred_pose)
+                if it % 2 == 1:  # merge_node + semantic
+                    pf_c, po_c = part_feats.clone(), pose_feats.clone()
+                    for b in range(B):
+                        for lst in class_list[b]:
+                            if len(lst) <= 1:
+                                continue
+                            po_c[b, lst] = pose_feats[b, lst].max(
+                                dim=-2, keepdim=True)[0]
+                            pf_c[b, lst] = part_feats[b, lst].max(
+                                dim=-2, keepdim=True)[0]
+                    rel_net = rel_merge
+                else:
+                    pf_c, po_c = part_feats, pose_feats
+                    rel_net = rel_dense
+                f1 = po_c.unsqueeze(1).repeat(1, P, 1, 1)
+                f2 = po_c.unsqueeze(2).repeat(1, 1, P, 1)
+                pair = torch.cat([f1, f2], dim=-1)
+                relation = rel_net(pair.view(B, P * P, -1)).view(B, P, P)
+                relation_matrix = relation * t_vm
+            else:
+                pf_c = part_feats
+                relation_matrix = t_vm
+            e1 = pf_c.unsqueeze(2).repeat(1, 1, P, 1)
+            e2 = pf_c.unsqueeze(1).repeat(1, P, 1, 1)
+            pair = torch.cat([e1, e2], dim=-1)
+            edge = edge_mlps[it](pair.view(B * P, P, -1)).view(B, P, P, -1)
+            msg = (edge * relation_matrix.unsqueeze(-1)).sum(dim=2)
+            msg = msg / (relation_matrix.sum(dim=-1, keepdim=True) + 1e-6)
+            part_feats = node_mlps[it](
+                torch.cat([msg, part_feats], dim=-1))
+            pose_in = torch.cat([part_feats, t_plabel, t_inst, pred_pose],
+                                dim=-1)
+            rot, trans = heads[it](pose_in)
+            pred_pose = torch.cat([rot, trans], dim=-1)
+        out['dgl_rot'] = rot.numpy()
+        out['dgl_trans'] = trans.numpy()
+
+    # --- composed Seq2Seq eval forward (b_lstm/seq2seq.py:126-223) ---
+    # teacher_forcing_ratio=0 (pure autoregressive; the reference draws
+    # random.random() < ratio even in eval -- documented deviation), the
+    # 16-d decoder hidden noise recorded for injection.  Pins the 2-layer
+    # packed Bi-GRU encoder hidden wiring, the autoregressive 2-layer
+    # decoder, the linear1 head (whose LeakyReLU(True) is the IDENTITY:
+    # negative_slope=True == 1.0) and the stop-sign head.
+    torch.Tensor.cuda = lambda self, *a, **k: self  # seq2seq hardcodes .cuda()
+    from multi_part_assembly.models.b_lstm.seq2seq import Seq2Seq
+    H = 20
+    s2s = Seq2Seq(C, C, H).eval()
+    randomize(s2s, 500)
+    quantize_f16(s2s)
+    dump_state_f16('ls2s', s2s, out)
+    np.random.seed(11)  # seq2seq draws its hidden noise via np.random
+    lstm_in = torch.as_tensor(gru_x).transpose(0, 1).contiguous()  # [P,B,C]
+    with torch.no_grad():
+        dec_out, stop_signs = s2s(lstm_in, lstm_in.detach(),
+                                  valids=t_valids, teacher_forcing_ratio=0)
+    np.random.seed(11)
+    out['ls2s_noise'] = np.random.normal(
+        loc=0.0, scale=1.0, size=[2, B, 16]).astype(np.float32)
+    # [P, B, C] -> [B, P, C]; stop [P, B, 1] -> [B, P, 1]
+    out['ls2s_out'] = dec_out.transpose(0, 1).numpy()
+    out['ls2s_stop'] = stop_signs.transpose(0, 1).numpy()
 
     np.savez(OUT, **out)
     print(f'wrote {OUT} ({len(out)} arrays)')

@@ -40,7 +40,11 @@ def _f32_compute():
 
 @pytest.fixture(scope='module')
 def g():
-    return dict(np.load(GOLDEN))
+    # DGL weights are stored as f16 (rounded before the torch run) to
+    # bound the fixture size; upcast so flax computes from the identical
+    # f32 values torch did
+    return {k: v.astype(np.float32) if v.dtype == np.float16 else v
+            for k, v in np.load(GOLDEN).items()}
 
 
 def _map_pointnet(sd, prefix):
@@ -172,26 +176,61 @@ def _map_gru(sd, prefix, num_layers=2, bidirectional=True):
     for layer in range(num_layers):
         for d in range(2 if bidirectional else 1):
             sfx = f'_l{layer}' + ('_reverse' if d else '')
-            wi = sd[f'{prefix}.weight_ih{sfx}']  # [3H, in]
-            wh = sd[f'{prefix}.weight_hh{sfx}']  # [3H, H]
-            bi = sd[f'{prefix}.bias_ih{sfx}']
-            bh = sd[f'{prefix}.bias_hh{sfx}']
-            H = wh.shape[1]
-            s = {k: slice(i * H, (i + 1) * H)
-                 for i, k in enumerate(('r', 'z', 'n'))}
-            p[f'l{layer}_d{d}'] = {'cell': {
-                'ir': {'kernel': jnp.asarray(wi[s['r']].T),
-                       'bias': jnp.asarray(bi[s['r']] + bh[s['r']])},
-                'iz': {'kernel': jnp.asarray(wi[s['z']].T),
-                       'bias': jnp.asarray(bi[s['z']] + bh[s['z']])},
-                'in': {'kernel': jnp.asarray(wi[s['n']].T),
-                       'bias': jnp.asarray(bi[s['n']])},
-                'hr': {'kernel': jnp.asarray(wh[s['r']].T)},
-                'hz': {'kernel': jnp.asarray(wh[s['z']].T)},
-                'hn': {'kernel': jnp.asarray(wh[s['n']].T),
-                       'bias': jnp.asarray(bh[s['n']])},
-            }}
+            p[f'l{layer}_d{d}'] = {'cell': _map_gru_cell(sd, prefix, sfx)}
     return p
+
+
+def _map_gru_cell(sd, prefix, sfx):
+    """One torch GRU layer/direction -> flax GRUCell params."""
+    wi = sd[f'{prefix}.weight_ih{sfx}']  # [3H, in]
+    wh = sd[f'{prefix}.weight_hh{sfx}']  # [3H, H]
+    bi = sd[f'{prefix}.bias_ih{sfx}']
+    bh = sd[f'{prefix}.bias_hh{sfx}']
+    H = wh.shape[1]
+    s = {k: slice(i * H, (i + 1) * H)
+         for i, k in enumerate(('r', 'z', 'n'))}
+    return {
+        'ir': {'kernel': jnp.asarray(wi[s['r']].T),
+               'bias': jnp.asarray(bi[s['r']] + bh[s['r']])},
+        'iz': {'kernel': jnp.asarray(wi[s['z']].T),
+               'bias': jnp.asarray(bi[s['z']] + bh[s['z']])},
+        'in': {'kernel': jnp.asarray(wi[s['n']].T),
+               'bias': jnp.asarray(bi[s['n']])},
+        'hr': {'kernel': jnp.asarray(wh[s['r']].T)},
+        'hz': {'kernel': jnp.asarray(wh[s['z']].T)},
+        'hn': {'kernel': jnp.asarray(wh[s['n']].T),
+               'bias': jnp.asarray(bh[s['n']])},
+    }
+
+
+def test_seq2seq_forward_parity(g):
+    """Composed Seq2Seq eval forward (reference b_lstm/seq2seq.py:126-223,
+    teacher_forcing_ratio=0, recorded hidden noise injected): pins the
+    packed Bi-GRU encoder hidden wiring, the autoregressive 2-layer
+    decoder, the identity-activation linear1 head (the reference's
+    LeakyReLU(True) == slope 1.0) and the stop-sign head."""
+    from multi_part_assembly_tpu.models.lstm import Seq2Seq
+    s2s = Seq2Seq(feat_dim=C, hidden_size=20)
+    params = {
+        'encoder': _map_gru(g, 'ls2s.encoder.rnn.gru'),
+        'decoder': {
+            'cell0': _map_gru_cell(g, 'ls2s.decoder.gru', '_l0'),
+            'cell1': _map_gru_cell(g, 'ls2s.decoder.gru', '_l1'),
+            'lin1a': _lin(g, 'ls2s.decoder.linear1.0'),
+            'lin1b': _lin(g, 'ls2s.decoder.linear1.2'),
+            'lin3a': _lin(g, 'ls2s.decoder.linear3.0'),
+            'lin3b': _lin(g, 'ls2s.decoder.linear3.3'),
+        },
+    }
+    x = jnp.asarray(g['gru_x'])
+    valids = jnp.asarray(g['valids'])
+    outputs, stop_signs = s2s.apply(
+        {'params': params}, x, x, valids=valids, train=False,
+        hidden_noise=jnp.asarray(g['ls2s_noise']))
+    np.testing.assert_allclose(np.asarray(outputs), g['ls2s_out'],
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(stop_signs), g['ls2s_stop'],
+                               atol=1e-4, rtol=1e-4)
 
 
 def test_masked_gru_forward_parity(g):
@@ -208,6 +247,62 @@ def test_masked_gru_forward_parity(g):
                                atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(h_n), g['gru_hn'],
                                atol=1e-5, rtol=1e-4)
+
+
+def _map_mlp34(sd, prefix):
+    """torch MLP3/MLP4 (conv1d + BN stacks) -> flax EdgeMLP/NodeMLP."""
+    params, stats = {}, {}
+    for i in range(1, 4):
+        w = sd[f'{prefix}.conv{i}.weight']  # [out, in, 1]
+        params[f'conv{i}'] = {'kernel': jnp.asarray(w[:, :, 0].T),
+                              'bias': jnp.asarray(sd[f'{prefix}.conv{i}.bias'])}
+        params[f'bn{i}'] = {
+            'scale': jnp.asarray(sd[f'{prefix}.bn{i}.weight']),
+            'bias': jnp.asarray(sd[f'{prefix}.bn{i}.bias']),
+        }
+        stats[f'bn{i}'] = {
+            'mean': jnp.asarray(sd[f'{prefix}.bn{i}.running_mean']),
+            'var': jnp.asarray(sd[f'{prefix}.bn{i}.running_var']),
+        }
+    return params, stats
+
+
+def test_dgl_forward_parity(g):
+    """Composed DGL eval forward (reference dgl/network.py:153-240): the
+    3-iter GNN loop incl. the semantic merge (dense masked merge vs the
+    reference's class_list CPU loop), both RelationNets, edge/node MLPs
+    with BN, pose extractor, and per-iter pose predictors."""
+    from multi_part_assembly_tpu.models.dgl import DGLModel
+    model = DGLModel(rot_type='quat', pc_feat_dim=C,
+                     encoder_arch='pointnet', noise_dim=0, gnn_iter=3,
+                     merge_node=True, semantic=True)
+    enc_p, enc_s = _map_pointnet(g, 'denc')
+    params = {'encoder': enc_p}
+    stats = {'encoder': enc_s}
+    for i in range(3):
+        for role, pre in (('edge_mlp', 'dedge'), ('node_mlp', 'dnode')):
+            p, s = _map_mlp34(g, f'{pre}{i}')
+            params[f'{role}{i}'] = p
+            stats[f'{role}{i}'] = s
+        params[f'pose{i}'] = _map_head(g, f'dhead{i}')
+    for name, pre in (('relation_dense', 'drel_dense'),
+                      ('relation_merge', 'drel_merge')):
+        params[name] = {f'mlp{i}': _lin(g, f'{pre}.mlp{i}')
+                        for i in (1, 2, 3)}
+    params['pose_extractor'] = {f'mlp{i}': _lin(g, f'dpose_enc.mlp{i}')
+                                for i in (1, 2)}
+    batch = {
+        'part_pcs': jnp.asarray(g['part_pcs']),
+        'part_valids': jnp.asarray(g['valids']),
+        'part_label': jnp.zeros((B, P, 0), jnp.float32),
+        'instance_label': jnp.asarray(g['dgl_instance_label']),
+        'part_ids': jnp.asarray(g['dgl_part_ids']),
+        'valid_matrix': jnp.asarray(g['dgl_valid_matrix']),
+    }
+    out = model.apply({'params': params, 'batch_stats': stats}, batch,
+                      train=False)
+    _check_valid(out['rot'], g['dgl_rot'], g['valids'], 3e-4)
+    _check_valid(out['trans'], g['dgl_trans'], g['valids'], 3e-4)
 
 
 def test_global_forward_parity(g):
