@@ -12,6 +12,11 @@ __all__ = ['RGLNet']
 
 
 class RGLNet(DGLModel):
+    # test hook: [gnn_iter, 1, 2, B, 2F] per-iteration GRU init hiddens
+    # (the reference draws them via torch.randn each forward,
+    # network.py:50-57); used by the weight-transplant parity golden
+    hidden_noise_override: jnp.ndarray = None
+
     def setup(self):
         super().setup()
         self.grus = [
@@ -28,10 +33,12 @@ class RGLNet(DGLModel):
             for i in range(self.gnn_iter)
         ]
 
-    def _init_gru_hidden(self, B, dtype):
+    def _init_gru_hidden(self, B, dtype, iter_ind):
         """Random init hidden: both directions share one random vector in the
         first half, fresh gaussians in the second (reference
         rgl_net/network.py:50-57 -- `zero_vec` is actually randn)."""
+        if self.hidden_noise_override is not None:
+            return self.hidden_noise_override[iter_ind].astype(dtype)
         key = self.make_rng('noise')
         k1, k2 = jax.random.split(key)
         rand_vec = jax.random.normal(k1, (1, 1, B, self.pc_feat_dim), dtype)
@@ -44,7 +51,7 @@ class RGLNet(DGLModel):
         (reference rgl_net/network.py:59-68, 139-143)."""
         B = part_feats.shape[0]
         gru_in = jnp.concatenate([part_feats, messages], axis=-1)  # [B,P,2F]
-        init_hidden = self._init_gru_hidden(B, part_feats.dtype)
+        init_hidden = self._init_gru_hidden(B, part_feats.dtype, iter_ind)
         gru_out, _ = self.grus[iter_ind](
             gru_in, init_hidden, valids=valids, train=train)  # [B, P, 4F]
         return self.node_mlps[iter_ind](gru_out, train)

@@ -305,6 +305,83 @@ def main():
     out['ls2s_out'] = dec_out.transpose(0, 1).numpy()
     out['ls2s_stop'] = stop_signs.transpose(0, 1).numpy()
 
+    # --- composed RGL-Net forward (rgl_net/network.py:70-162): DGL loop
+    # with a packed bidirectional GRU node update.  Reuses the DGL
+    # encoder/edge/relation/pose-extractor/head weights (shape-identical);
+    # only the RGL node MLPs (4F input, NO final relu) and the per-iter
+    # GRUs are new.  The per-iter randn init hiddens (network.py:50-57)
+    # are recorded for injection. ---
+    from multi_part_assembly.models.rgl_net.modules import MLP4 as RGLMLP4
+    from torch.nn.utils.rnn import pack_padded_sequence, pad_packed_sequence
+    rgl_nodes = [RGLMLP4(C).eval() for _ in range(ITERS)]
+    rgl_grus = [torch.nn.GRU(2 * C, 2 * C, 1, batch_first=True,
+                             bidirectional=True).eval()
+                for _ in range(ITERS)]
+    for seed, m in enumerate(rgl_nodes + rgl_grus):
+        randomize(m, 600 + seed)
+        quantize_f16(m)
+    for i in range(ITERS):
+        dump_state_f16(f'rnode{i}', rgl_nodes[i], out)
+        dump_state_f16(f'rgru{i}', rgl_grus[i], out)
+    rng2 = np.random.RandomState(13)
+    rgl_hidden = np.stack([
+        np.concatenate([np.repeat(rng2.randn(1, B, C), 2, axis=0),
+                        rng2.randn(2, B, C)], axis=-1)
+        for _ in range(ITERS)]).astype(np.float32)  # [ITERS, 2, B, 2C]
+    out['rgl_hidden'] = rgl_hidden
+
+    with torch.no_grad():
+        r_feats = torch.zeros(B, P, C)
+        r_feats[valid_mask] = d_enc(t_pcs[valid_mask])
+        part_feats = r_feats
+        pred_pose = torch.zeros(B, P, POSE)
+        pred_pose[..., 0] = 1.0
+        lengths = torch.as_tensor(NPARTS)
+        for it in range(ITERS):
+            if it >= 1:
+                pose_feats = pose_enc(pred_pose)
+                if it % 2 == 1:
+                    pf_c, po_c = part_feats.clone(), pose_feats.clone()
+                    for b in range(B):
+                        for lst in class_list[b]:
+                            if len(lst) <= 1:
+                                continue
+                            po_c[b, lst] = pose_feats[b, lst].max(
+                                dim=-2, keepdim=True)[0]
+                            pf_c[b, lst] = part_feats[b, lst].max(
+                                dim=-2, keepdim=True)[0]
+                    rel_net = rel_merge
+                else:
+                    pf_c, po_c = part_feats, pose_feats
+                    rel_net = rel_dense
+                f1 = po_c.unsqueeze(1).repeat(1, P, 1, 1)
+                f2 = po_c.unsqueeze(2).repeat(1, 1, P, 1)
+                pair = torch.cat([f1, f2], dim=-1)
+                relation = rel_net(pair.view(B, P * P, -1)).view(B, P, P)
+                relation_matrix = relation * t_vm
+            else:
+                pf_c = part_feats
+                relation_matrix = t_vm
+            e1 = pf_c.unsqueeze(2).repeat(1, 1, P, 1)
+            e2 = pf_c.unsqueeze(1).repeat(1, P, 1, 1)
+            pair = torch.cat([e1, e2], dim=-1)
+            edge = edge_mlps[it](pair.view(B * P, P, -1)).view(B, P, P, -1)
+            msg = (edge * relation_matrix.unsqueeze(-1)).sum(dim=2)
+            msg = msg / (relation_matrix.sum(dim=-1, keepdim=True) + 1e-6)
+            # GRU progressive node update (network.py:59-68, 139-143)
+            gru_in = torch.cat([part_feats, msg], dim=-1)  # [B, P, 2C]
+            packed = pack_padded_sequence(gru_in, lengths, batch_first=True,
+                                          enforce_sorted=False)
+            o, _ = rgl_grus[it](packed, torch.as_tensor(rgl_hidden[it]))
+            o, _ = pad_packed_sequence(o, batch_first=True, total_length=P)
+            part_feats = rgl_nodes[it](o)
+            pose_in = torch.cat([part_feats, t_plabel, t_inst, pred_pose],
+                                dim=-1)
+            rot, trans = heads[it](pose_in)
+            pred_pose = torch.cat([rot, trans], dim=-1)
+        out['rgl_rot'] = rot.numpy()
+        out['rgl_trans'] = trans.numpy()
+
     np.savez(OUT, **out)
     print(f'wrote {OUT} ({len(out)} arrays)')
     print('pn_rot[0,0]:', np.round(out['pn_rot'][0, 0], 5))

@@ -305,6 +305,46 @@ def test_dgl_forward_parity(g):
     _check_valid(out['trans'], g['dgl_trans'], g['valids'], 3e-4)
 
 
+def test_rgl_forward_parity(g):
+    """Composed RGL-Net eval forward (reference rgl_net/network.py:70-162):
+    the DGL GNN loop with packed-GRU progressive node updates (recorded
+    init hiddens injected) and the no-final-relu RGL node MLP."""
+    from multi_part_assembly_tpu.models.rgl_net import RGLNet
+    hidden = jnp.asarray(g['rgl_hidden']).reshape(3, 1, 2, B, 2 * C)
+    model = RGLNet(rot_type='quat', pc_feat_dim=C,
+                   encoder_arch='pointnet', noise_dim=0, gnn_iter=3,
+                   merge_node=True, semantic=True,
+                   hidden_noise_override=hidden)
+    enc_p, enc_s = _map_pointnet(g, 'denc')
+    params = {'encoder': enc_p}
+    stats = {'encoder': enc_s}
+    for i in range(3):
+        p, s = _map_mlp34(g, f'dedge{i}')
+        params[f'edge_mlp{i}'], stats[f'edge_mlp{i}'] = p, s
+        p, s = _map_mlp34(g, f'rnode{i}')
+        params[f'node_mlp{i}'], stats[f'node_mlp{i}'] = p, s
+        params[f'pose{i}'] = _map_head(g, f'dhead{i}')
+        params[f'gru{i}'] = _map_gru(g, f'rgru{i}', num_layers=1)
+    for name, pre in (('relation_dense', 'drel_dense'),
+                      ('relation_merge', 'drel_merge')):
+        params[name] = {f'mlp{i}': _lin(g, f'{pre}.mlp{i}')
+                        for i in (1, 2, 3)}
+    params['pose_extractor'] = {f'mlp{i}': _lin(g, f'dpose_enc.mlp{i}')
+                                for i in (1, 2)}
+    batch = {
+        'part_pcs': jnp.asarray(g['part_pcs']),
+        'part_valids': jnp.asarray(g['valids']),
+        'part_label': jnp.zeros((B, P, 0), jnp.float32),
+        'instance_label': jnp.asarray(g['dgl_instance_label']),
+        'part_ids': jnp.asarray(g['dgl_part_ids']),
+        'valid_matrix': jnp.asarray(g['dgl_valid_matrix']),
+    }
+    out = model.apply({'params': params, 'batch_stats': stats}, batch,
+                      train=False)
+    _check_valid(out['rot'], g['rgl_rot'], g['valids'], 3e-4)
+    _check_valid(out['trans'], g['rgl_trans'], g['valids'], 3e-4)
+
+
 def test_global_forward_parity(g):
     model = GlobalModel(rot_type='quat', pc_feat_dim=C,
                         encoder_arch='pointnet', noise_dim=0)
