@@ -382,6 +382,46 @@ def main():
         out['rgl_rot'] = rot.numpy()
         out['rgl_trans'] = trans.numpy()
 
+    # --- composed PN-Transformer-Refine forward (network_refine.py:79-142,
+    # eval): per-step transformer (with out_fc) + head clones, predicted
+    # pose fed back as an additive learned positional encoding,
+    # pose_pc_feat concat.  Reuses the 'enc' PointNet. ---
+    from multi_part_assembly.models.pn_transformer.network_refine import \
+        PosEncoder
+    REFINE = 2
+    poe = PosEncoder([POSE, C, C]).eval()
+    r_corrs = [TransformerEncoder(d_model=C, num_heads=HEADS, ffn_dim=FFN,
+                                  num_layers=LAYERS, norm_first=True,
+                                  out_dim=C).eval() for _ in range(REFINE)]
+    r_heads = [StocasticPoseRegressor(feat_dim=2 * C + POSE, noise_dim=0,
+                                      rot_type='quat').eval()
+               for _ in range(REFINE)]
+    for seed, m in enumerate([poe] + r_corrs + r_heads):
+        randomize(m, 700 + seed)
+        quantize_f16(m)
+    dump_state_f16('rf_pos', poe, out)
+    for i in range(REFINE):
+        dump_state_f16(f'rf_corr{i}', r_corrs[i], out)
+        dump_state_f16(f'rf_head{i}', r_heads[i], out)
+
+    with torch.no_grad():
+        pc_feats = torch.zeros(B, P, C)
+        pc_feats[valid_mask] = encoder(t_pcs[valid_mask])
+        part_feats = pc_feats
+        pose = torch.zeros(B, P, POSE)
+        pose[..., 0] = 1.0
+        empty = torch.zeros(B, P, 0)
+        for i in range(REFINE):
+            in_feats = part_feats + poe(pose)
+            corr_feats = r_corrs[i](in_feats, valid_mask)
+            feats = torch.cat([corr_feats, empty, empty, pose], dim=-1)
+            feats = torch.cat([pc_feats, feats], dim=-1)  # pose_pc_feat
+            rrot, rtrans = r_heads[i](feats)
+            pose = torch.cat([rrot, rtrans], dim=-1)
+            part_feats = corr_feats
+        out['rf_rot'] = rrot.numpy()
+        out['rf_trans'] = rtrans.numpy()
+
     np.savez(OUT, **out)
     print(f'wrote {OUT} ({len(out)} arrays)')
     print('pn_rot[0,0]:', np.round(out['pn_rot'][0, 0], 5))

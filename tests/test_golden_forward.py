@@ -345,6 +345,35 @@ def test_rgl_forward_parity(g):
     _check_valid(out['trans'], g['rgl_trans'], g['valids'], 3e-4)
 
 
+def test_pn_transformer_refine_forward_parity(g):
+    """Composed PN-Transformer-Refine eval forward (reference
+    network_refine.py:79-142): per-step transformer (with out_fc) + head
+    clones, pose fed back as an additive learned positional encoding,
+    pose_pc_feat concat."""
+    from multi_part_assembly_tpu.models.pn_transformer import \
+        PNTransformerRefine
+    model = PNTransformerRefine(
+        rot_type='quat', pc_feat_dim=C, encoder_arch='pointnet',
+        noise_dim=0, transformer_feat_dim=FFN, transformer_heads=HEADS,
+        transformer_layers=LAYERS, transformer_pre_ln=True,
+        transformer_pos_enc=(C, C), pose_pc_feat=True, refine_steps=2)
+    enc_p, enc_s = _map_pointnet(g, 'enc')
+    params = {
+        'encoder': enc_p,
+        'corr_pos_enc': {'fc0': _lin(g, 'rf_pos.layers.0'),
+                         'fc1': _lin(g, 'rf_pos.layers.2')},
+    }
+    for i in range(2):
+        corr = _map_transformer(g, f'rf_corr{i}')
+        corr['out_fc'] = _lin(g, f'rf_corr{i}.out_fc')
+        params[f'corr{i}'] = corr
+        params[f'pose{i}'] = _map_head(g, f'rf_head{i}')
+    out = model.apply({'params': params, 'batch_stats': {'encoder': enc_s}},
+                      _batch(g), train=False)
+    _check_valid(out['rot'], g['rf_rot'], g['valids'], 3e-4)
+    _check_valid(out['trans'], g['rf_trans'], g['valids'], 3e-4)
+
+
 def test_global_forward_parity(g):
     model = GlobalModel(rot_type='quat', pc_feat_dim=C,
                         encoder_arch='pointnet', noise_dim=0)
