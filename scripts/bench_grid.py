@@ -44,6 +44,12 @@ CELLS = {
               'MPA_BENCH_LAG': '2', 'MPA_BENCH_KICK_THREAD': ''},
     'spc16_thr': {'MPA_BENCH_SPC': '16', 'MPA_BENCH_KICK': '2',
                   'MPA_BENCH_LAG': '2', 'MPA_BENCH_KICK_THREAD': '1'},
+    'spc16_thr_k1': {'MPA_BENCH_SPC': '16', 'MPA_BENCH_KICK': '1',
+                     'MPA_BENCH_LAG': '2', 'MPA_BENCH_KICK_THREAD': '1'},
+    # deeper lag under threading: the worker absorbs the wait, so more
+    # handles can stay in flight without stalling dispatch
+    'spc8_thr_lag4': {'MPA_BENCH_SPC': '8', 'MPA_BENCH_KICK': '2',
+                      'MPA_BENCH_LAG': '4', 'MPA_BENCH_KICK_THREAD': '1'},
 }
 
 
