@@ -15,6 +15,7 @@ reference's per-GPU DDP BN is a noisier estimate of the same thing.
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from numpy import prod as np_prod
 
 __all__ = ['MaskedBatchNorm']
 
@@ -49,6 +50,7 @@ class MaskedBatchNorm(nn.Module):
             if mask is None:
                 mean = jnp.mean(xs, axis=reduce_axes)
                 var = jnp.mean((xs - mean)**2, axis=reduce_axes)
+                denom = jnp.asarray(float(np_prod(x.shape[:-1])), jnp.float32)
             else:
                 w = jnp.broadcast_to(mask[..., None].astype(jnp.float32),
                                      xs.shape)
@@ -56,10 +58,15 @@ class MaskedBatchNorm(nn.Module):
                 mean = jnp.sum(xs * w, axis=reduce_axes) / denom
                 var = jnp.sum(w * (xs - mean)**2, axis=reduce_axes) / denom
             if not self.is_initializing():
+                # torch BatchNorm normalizes with the BIASED variance but
+                # tracks the UNBIASED one in running_var (torch BN docs /
+                # _BatchNorm.forward); match exactly so eval after
+                # training agrees with the reference
+                var_track = var * denom / jnp.maximum(denom - 1.0, 1.0)
                 ra_mean.value = self.momentum * ra_mean.value + \
                     (1.0 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + \
-                    (1.0 - self.momentum) * var
+                    (1.0 - self.momentum) * var_track
         else:
             mean, var = ra_mean.value, ra_var.value
 

@@ -60,7 +60,10 @@ def randomize(module, seed):
 def dump_state(prefix, module, out):
     for k, v in module.state_dict().items():
         if torch.is_floating_point(v):
-            out[f'{prefix}.{k}'] = v.detach().numpy()
+            # .numpy() returns a VIEW of the buffer -- copy, or later
+            # in-place BN running-stat updates silently mutate the
+            # recorded "pre" state
+            out[f'{prefix}.{k}'] = v.detach().numpy().copy()
 
 
 def quantize_f16(module):
@@ -421,6 +424,35 @@ def main():
             part_feats = corr_feats
         out['rf_rot'] = rrot.numpy()
         out['rf_trans'] = rtrans.numpy()
+
+    # --- TRAIN-mode BN goldens: batch statistics + running-stat updates.
+    # The reference normalizes with the biased batch variance but tracks
+    # the UNBIASED one in running_var (torch _BatchNorm), momentum 0.1.
+    # (a) PointNet over COMPACTED valid parts (the reference's dynamic
+    # valid_mask path, b_global/network.py:45-54) -- pins MaskedBatchNorm's
+    # weighted-stats equivalence; (b) MLP3 over all [B*P, P, 2F] pair
+    # entries (BN sees padded pairs too) -- pins the mask=None path. ---
+    tenc = PointNet(feat_dim=C, global_feat=True).train()
+    randomize(tenc, 800)
+    dump_state('tenc', tenc, out)  # PRE-run state incl. running stats
+    with torch.no_grad():
+        t_feats = tenc(t_pcs[valid_mask])
+    out['tenc_feats'] = t_feats.numpy()
+    for k, v in tenc.state_dict().items():
+        if k.endswith('running_mean') or k.endswith('running_var'):
+            out[f'tenc_post.{k}'] = v.numpy().copy()
+
+    tedge = MLP3(C).train()
+    randomize(tedge, 801)
+    dump_state('tedge', tedge, out)
+    edge_in = (rng.randn(B * P, P, 2 * C) * 0.5).astype(np.float32)
+    out['tedge_in'] = edge_in
+    with torch.no_grad():
+        e_out = tedge(torch.as_tensor(edge_in))
+    out['tedge_out'] = e_out.numpy()
+    for k, v in tedge.state_dict().items():
+        if k.endswith('running_mean') or k.endswith('running_var'):
+            out[f'tedge_post.{k}'] = v.numpy().copy()
 
     np.savez(OUT, **out)
     print(f'wrote {OUT} ({len(out)} arrays)')

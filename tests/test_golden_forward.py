@@ -146,6 +146,47 @@ def test_pointnet_forward_parity(g):
     np.testing.assert_allclose(np.asarray(feats), ref, atol=1e-4, rtol=1e-4)
 
 
+def test_pointnet_train_bn_parity(g):
+    """TRAIN-mode encoder parity: MaskedBatchNorm's weighted statistics
+    over the padded [B*P] layout must equal torch BN over the reference's
+    compacted valid parts -- outputs AND the post-step running stats
+    (biased normalization, UNBIASED tracking, momentum 0.1)."""
+    params, stats = _map_pointnet(g, 'tenc')
+    enc = PointNet(feat_dim=C, global_feat=True)
+    flat = jnp.asarray(g['part_pcs'].reshape(B * P, N, 3))
+    mask = jnp.asarray(g['valids'].reshape(B * P))
+    feats, mut = enc.apply({'params': params, 'batch_stats': stats}, flat,
+                           mask=mask, train=True, mutable=['batch_stats'])
+    vmask = g['valids'].reshape(B * P) > 0
+    np.testing.assert_allclose(np.asarray(feats)[vmask], g['tenc_feats'],
+                               atol=3e-4, rtol=1e-4)
+    for i in range(1, 6):
+        for ours, theirs in (('mean', 'running_mean'),
+                             ('var', 'running_var')):
+            np.testing.assert_allclose(
+                np.asarray(mut['batch_stats'][f'bn{i}'][ours]),
+                g[f'tenc_post.bn{i}.{theirs}'], atol=1e-5, rtol=1e-4)
+
+
+def test_edge_mlp_train_bn_parity(g):
+    """TRAIN-mode MLP3 parity (mask=None path): BN statistics over every
+    [B*P, P] pair entry, outputs and running-stat updates."""
+    from multi_part_assembly_tpu.models.dgl import EdgeMLP
+    params, stats = _map_mlp34(g, 'tedge')
+    mlp = EdgeMLP(C)
+    o, mut = mlp.apply({'params': params, 'batch_stats': stats},
+                       jnp.asarray(g['tedge_in']), train=True,
+                       mutable=['batch_stats'])
+    np.testing.assert_allclose(np.asarray(o), g['tedge_out'],
+                               atol=3e-4, rtol=1e-4)
+    for i in range(1, 4):
+        for ours, theirs in (('mean', 'running_mean'),
+                             ('var', 'running_var')):
+            np.testing.assert_allclose(
+                np.asarray(mut['batch_stats'][f'bn{i}'][ours]),
+                g[f'tedge_post.bn{i}.{theirs}'], atol=1e-5, rtol=1e-4)
+
+
 def test_pn_transformer_forward_parity(g):
     model = PNTransformer(
         rot_type='quat', pc_feat_dim=C, encoder_arch='pointnet',
