@@ -19,20 +19,29 @@ def cosine_warmup_restarts(max_lr, min_lr, first_cycle_steps,
     every cycle (reference lr.py:80-92)."""
     assert warmup_steps < first_cycle_steps
 
+    # cycle sizes follow the SEQUENTIAL recurrence the training loop
+    # actually executes (lr.py:93-101, one step() per epoch):
+    #   c_0 = first_cycle_steps;  c_{k+1} = int((c_k - W) * mult) + W
+    # NOTE the reference's epoch-indexed branch (lr.py:108-118) disagrees
+    # with its own sequential branch for cycle_mult != 1 (it yields
+    # first * mult**k); training never takes that branch, so we pin the
+    # sequential sizes.  Cycle starts are precomputed statically (the
+    # table is tiny) and searched inside the jitted schedule.
+    starts, sizes, c = [0.0], [], float(first_cycle_steps)
+    while len(sizes) < 128 and starts[-1] <= 1e9:
+        sizes.append(c)
+        starts.append(starts[-1] + c)
+        c = float(int((c - warmup_steps) * cycle_mult) + warmup_steps)
+    starts_arr = jnp.asarray(starts[:-1], jnp.float32)
+    sizes_arr = jnp.asarray(sizes, jnp.float32)
+
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
-        if cycle_mult == 1.0:
-            cycle = jnp.floor(step / first_cycle_steps)
-            step_in_cycle = step - cycle * first_cycle_steps
-            cur_cycle_steps = first_cycle_steps
-        else:  # geometric cycle growth (lr.py:108-118)
-            n = jnp.floor(
-                jnp.log(step / first_cycle_steps * (cycle_mult - 1) + 1) /
-                jnp.log(cycle_mult))
-            cycle = n
-            start = first_cycle_steps * (cycle_mult**n - 1) / (cycle_mult - 1)
-            step_in_cycle = step - start
-            cur_cycle_steps = first_cycle_steps * cycle_mult**n
+        cycle = jnp.clip(
+            jnp.searchsorted(starts_arr, step, side='right') - 1,
+            0, len(sizes) - 1)
+        step_in_cycle = step - starts_arr[cycle]
+        cur_cycle_steps = sizes_arr[cycle]
         cur_max = max_lr * gamma**cycle
         warm = (cur_max - min_lr) * step_in_cycle / warmup_steps + min_lr \
             if warmup_steps > 0 else cur_max

@@ -230,6 +230,36 @@ def main():
     out['connectivity_acc'] = ref_eval.calc_connectivity_acc(
         t['trans1'], r1, torch.as_tensor(contacts)).numpy()
 
+    # --- per-epoch LR trajectories of the reference cosine scheduler,
+    # driven by the REAL training protocol (one scheduler.step() per
+    # epoch, base_model.py:404-424 + Lightning epoch-interval stepping).
+    # The reference's LinearAnnealingWarmup cannot be recorded: its
+    # __init__ calls super(CosineAnnealingWarmupRestarts, self) (lr.py:
+    # 156-157), which raises TypeError -- the class is un-instantiable
+    # upstream (and unused by its configs). ---
+    from multi_part_assembly.utils.lr import CosineAnnealingWarmupRestarts
+    LR_CASES = {
+        'lr_cos_plain': dict(first_cycle_steps=400, cycle_mult=1.0,
+                             max_lr=1e-3, min_lr=1e-6, warmup_steps=20,
+                             gamma=1.0, epochs=400),
+        'lr_cos_restart': dict(first_cycle_steps=50, cycle_mult=1.0,
+                               max_lr=1e-3, min_lr=1e-5, warmup_steps=5,
+                               gamma=0.5, epochs=200),
+        'lr_cos_geom': dict(first_cycle_steps=50, cycle_mult=2.0,
+                            max_lr=1e-3, min_lr=1e-5, warmup_steps=5,
+                            gamma=0.8, epochs=350),
+    }
+    for name, kw in LR_CASES.items():
+        epochs = kw.pop('epochs')
+        opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
+        sched = CosineAnnealingWarmupRestarts(opt, **kw)
+        lrs = [opt.param_groups[0]['lr']]  # epoch 0 (set by __init__)
+        for _ in range(1, epochs):
+            sched.step()
+            lrs.append(opt.param_groups[0]['lr'])
+        out[name] = np.asarray(lrs, np.float64)
+        kw['epochs'] = epochs
+
     np.savez(OUT, **out)
     print(f'wrote {OUT}:')
     for k, v in out.items():

@@ -104,3 +104,32 @@ def test_connectivity_acc_golden(g):
     _check(calc_connectivity_acc(g['trans1_j'], g['r1'],
                                  g['contact_points_j']),
            g['connectivity_acc'])
+
+
+LR_CASES = {
+    # mirrors make_golden.py LR_CASES (epoch-stepped reference scheduler)
+    'lr_cos_plain': dict(first_cycle_steps=400, cycle_mult=1.0,
+                         max_lr=1e-3, min_lr=1e-6, warmup_steps=20,
+                         gamma=1.0),
+    'lr_cos_restart': dict(first_cycle_steps=50, cycle_mult=1.0,
+                           max_lr=1e-3, min_lr=1e-5, warmup_steps=5,
+                           gamma=0.5),
+    'lr_cos_geom': dict(first_cycle_steps=50, cycle_mult=2.0,
+                        max_lr=1e-3, min_lr=1e-5, warmup_steps=5,
+                        gamma=0.8),
+}
+
+
+@pytest.mark.parametrize('name', sorted(LR_CASES))
+def test_cosine_lr_trajectory_golden(g, name):
+    """Per-epoch LR trajectory vs the reference scheduler stepped once per
+    epoch (base_model.py:404-424): warmup ramp, restart wrap, gamma decay
+    of the cycle max, and cycle_mult geometric growth.  (The reference's
+    LinearAnnealingWarmup is un-instantiable upstream -- lr.py:156-157
+    calls super(CosineAnnealingWarmupRestarts, self) -- so only the cosine
+    family has a recordable trajectory.)"""
+    from multi_part_assembly_tpu.train.schedules import cosine_warmup_restarts
+    ref = g[name]
+    sched = cosine_warmup_restarts(**LR_CASES[name])
+    ours = np.asarray([sched(e) for e in range(len(ref))])
+    np.testing.assert_allclose(ours, ref, rtol=3e-5, atol=1e-9)
