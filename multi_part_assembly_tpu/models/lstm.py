@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from .base import extract_part_feats
 from .modules.encoders import build_encoder
 from .modules.regressor import StochasticPoseRegressor
-from .modules.rnn import MaskedGRU
+from .modules.rnn import FusedGRUCell, MaskedGRU
 
 __all__ = ['LSTMModel', 'Seq2Seq']
 
@@ -40,10 +40,10 @@ class _DecoderStep(nn.Module):
         # match the reference's actual behavior exactly.
         inp = nn.Dropout(0.2, deterministic=not self.train,
                          name='drop_i')(inp)
-        nh1, _ = nn.GRUCell(features=self.hidden_size, name='cell0')(h1, inp)
+        nh1 = FusedGRUCell(features=self.hidden_size, name='cell0')(h1, inp)
         mid = nn.Dropout(0.2, deterministic=not self.train,
                          name='drop_mid')(nh1)  # torch inter-layer dropout
-        nh2, _ = nn.GRUCell(features=self.hidden_size, name='cell1')(h2, mid)
+        nh2 = FusedGRUCell(features=self.hidden_size, name='cell1')(h2, mid)
         # output head reads the FIRST layer's hidden (seq2seq.py:115-118).
         # The reference's linear1 is Linear -> nn.LeakyReLU(True) -> Linear
         # (seq2seq.py:84-88); LeakyReLU's first positional arg is

@@ -1,4 +1,4 @@
-"""Masked (bi)directional GRU via lax.scan.
+"""Masked (bi)directional GRU via lax.scan, with fused projections.
 
 Replaces the reference's pack_padded_sequence wrapper
 (reference: multi_part_assembly/models/modules/rnn.py:6-46).  Valid entries
@@ -6,38 +6,82 @@ are always a prefix of the part axis, so masked hidden-state carry is
 exactly equivalent to packing: invalid steps keep the previous hidden and
 emit zeros, and the backward direction runs over the reversed sequence
 where the masked carry skips the leading padding.
+
+TPU layout: a naive per-step GRUCell issues six skinny [B, C] @ [C, H]
+matmuls per scan step (B=32 uses <1/4 of the MXU's rows and each matmul
+pays dispatch overhead).  FusedGRUCell keeps the torch/flax gate math but
+(a) packs the three input projections into ONE [C, 3H] matmul that is
+hoisted OUT of the scan (one [B*T, C] @ [C, 3H] pass for the whole
+sequence), and (b) packs the three hidden projections into one [H, 3H]
+matmul, so the sequential chain is one matmul + gate VPU math per step.
+Gate column order is r|z|n, matching torch's weight_ih/weight_hh row
+packing, which keeps weight transplants a pure concat.
 """
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
-__all__ = ['MaskedGRU']
+__all__ = ['MaskedGRU', 'FusedGRUCell']
 
 
-class _MaskedGRUStep(nn.Module):
-    """One time step: masked GRUCell update."""
+class FusedGRUCell(nn.Module):
+    """GRU cell with fused gate projections (column order r|z|n).
 
-    hidden_size: int
+    Identical math to flax nn.GRUCell / torch nn.GRUCell:
+        r = sigmoid(x W_ir + b_ir' + h W_hr)
+        z = sigmoid(x W_iz + b_iz' + h W_hz)
+        n = tanh(x W_in + b_in + r * (h W_hn + b_hn))
+        h' = (1 - z) n + z h
+    where b_i*' merges torch's b_ih + b_hh for the r/z gates (those
+    linears are summed, so the split is unobservable); the n gate keeps
+    its two biases apart because r multiplies the hidden linear.
 
-    @nn.compact
-    def __call__(self, h, inputs):
-        x_t, m_t = inputs  # [B, C], [B]
-        new_h, _ = nn.GRUCell(features=self.hidden_size, name='cell')(h, x_t)
-        m = m_t[:, None].astype(h.dtype)
-        h = m * new_h + (1.0 - m) * h
-        out = m * new_h
-        return h, out
+    `project(x)` computes the input half (callable on a whole [B, T, C]
+    sequence, one MXU pass); `apply_proj(h, xp)` runs one recurrent step
+    from a precomputed projection.  `__call__(h, x)` does both.
+    """
+
+    features: int
+
+    def setup(self):
+        f = self.features
+        self.wi = nn.Dense(3 * f)  # input proj, merged r/z biases
+        self.wh = nn.Dense(3 * f, use_bias=False,
+                           kernel_init=nn.initializers.orthogonal())
+        self.bhn = self.param('bhn', nn.initializers.zeros, (f,))
+
+    def project(self, x):
+        return self.wi(x)
+
+    def apply_proj(self, h, xp):
+        hp = self.wh(h)
+        xr, xz, xn = jnp.split(xp, 3, axis=-1)
+        hr, hz, hn = jnp.split(hp, 3, axis=-1)
+        r = nn.sigmoid(xr + hr)
+        z = nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * (hn + self.bhn))
+        return (1.0 - z) * n + z * h
+
+    def __call__(self, h, x):
+        return self.apply_proj(h, self.project(x))
 
 
-def _scan_layer(module_cls, hidden_size, name):
-    return nn.scan(
-        module_cls,
-        variable_broadcast='params',
-        split_rngs={'params': False, 'dropout': False},
-        in_axes=1,
-        out_axes=1,
-    )(hidden_size=hidden_size, name=name)
+def _masked_step(cell, h, xs):
+    """One masked recurrence step from a precomputed input projection."""
+    xp_t, m_t = xs  # [B, 3H], [B]
+    new_h = cell.apply_proj(h, xp_t)
+    m = m_t[:, None].astype(h.dtype)
+    h = m * new_h + (1.0 - m) * h
+    return h, m * new_h
+
+
+_scan_steps = nn.scan(
+    _masked_step,
+    variable_broadcast='params',
+    split_rngs={'params': False, 'dropout': False},
+    in_axes=1,
+    out_axes=1,
+)
 
 
 class MaskedGRU(nn.Module):
@@ -71,9 +115,10 @@ class MaskedGRU(nn.Module):
             for d in range(n_dirs):
                 inp = h_seq if d == 0 else jnp.flip(h_seq, axis=1)
                 m = mask if d == 0 else jnp.flip(mask, axis=1)
-                scan = _scan_layer(_MaskedGRUStep, self.hidden_size,
-                                   f'l{layer}_d{d}')
-                h_last, out = scan(init_hidden[layer, d], (inp, m))
+                cell = FusedGRUCell(self.hidden_size, name=f'l{layer}_d{d}')
+                xp = cell.project(inp)  # [B, T, 3H] in one matmul
+                h_last, out = _scan_steps(cell, init_hidden[layer, d],
+                                          (xp, m))
                 if d == 1:
                     out = jnp.flip(out, axis=1)
                 outs.append(out)

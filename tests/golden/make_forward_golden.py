@@ -158,8 +158,8 @@ def main():
         # --- packed bidirectional GRU (the RNNWrapper path the LSTM /
         # RGL-NET families ride, reference models/modules/rnn.py:6-46 +
         # b_lstm/seq2seq.py:118-141): torch gate order (r|z|n) and the
-        # b_ih/b_hh bias split must map exactly onto flax GRUCell's
-        # merged-bias formulation; this fixture pins that mapping ---
+        # b_ih/b_hh bias split must map exactly onto FusedGRUCell's
+        # packed-kernel merged-bias formulation; this fixture pins that mapping ---
         from torch.nn.utils.rnn import (pack_padded_sequence,
                                         pad_packed_sequence)
         H = C  # hidden == feat dim, like seq2seq encoder

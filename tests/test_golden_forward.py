@@ -206,41 +206,36 @@ def test_pn_transformer_forward_parity(g):
 
 
 def _map_gru(sd, prefix, num_layers=2, bidirectional=True):
-    """torch nn.GRU state_dict -> flax MaskedGRU params.
-
-    torch packs gates as rows (r|z|n) of weight_ih/weight_hh [3H, in] with
-    separate b_ih/b_hh; flax GRUCell (ir/iz/in + hr/hz/hn Denses) merges
-    the r/z biases (b_ir+b_hr) since those linears are summed, but keeps
-    b_in (-> in.bias) and b_hn (-> hn.bias) apart because r multiplies the
-    hidden linear before the sum."""
+    """torch nn.GRU state_dict -> flax MaskedGRU params."""
     p = {}
     for layer in range(num_layers):
         for d in range(2 if bidirectional else 1):
             sfx = f'_l{layer}' + ('_reverse' if d else '')
-            p[f'l{layer}_d{d}'] = {'cell': _map_gru_cell(sd, prefix, sfx)}
+            p[f'l{layer}_d{d}'] = _map_gru_cell(sd, prefix, sfx)
     return p
 
 
 def _map_gru_cell(sd, prefix, sfx):
-    """One torch GRU layer/direction -> flax GRUCell params."""
+    """One torch GRU layer/direction -> FusedGRUCell params.
+
+    torch packs gates as rows (r|z|n) of weight_ih/weight_hh [3H, in]
+    with separate b_ih/b_hh; FusedGRUCell keeps the same r|z|n packing as
+    fused [in, 3H] kernels, merges the r/z biases (b_ih+b_hh, those
+    linears are summed) into wi.bias, and keeps b_hn apart (-> bhn)
+    because r multiplies the hidden linear before the sum."""
     wi = sd[f'{prefix}.weight_ih{sfx}']  # [3H, in]
     wh = sd[f'{prefix}.weight_hh{sfx}']  # [3H, H]
     bi = sd[f'{prefix}.bias_ih{sfx}']
     bh = sd[f'{prefix}.bias_hh{sfx}']
     H = wh.shape[1]
-    s = {k: slice(i * H, (i + 1) * H)
-         for i, k in enumerate(('r', 'z', 'n'))}
+    bias = np.concatenate([bi[:H] + bh[:H],          # r (merged)
+                           bi[H:2 * H] + bh[H:2 * H],  # z (merged)
+                           bi[2 * H:]])                # n (input half)
     return {
-        'ir': {'kernel': jnp.asarray(wi[s['r']].T),
-               'bias': jnp.asarray(bi[s['r']] + bh[s['r']])},
-        'iz': {'kernel': jnp.asarray(wi[s['z']].T),
-               'bias': jnp.asarray(bi[s['z']] + bh[s['z']])},
-        'in': {'kernel': jnp.asarray(wi[s['n']].T),
-               'bias': jnp.asarray(bi[s['n']])},
-        'hr': {'kernel': jnp.asarray(wh[s['r']].T)},
-        'hz': {'kernel': jnp.asarray(wh[s['z']].T)},
-        'hn': {'kernel': jnp.asarray(wh[s['n']].T),
-               'bias': jnp.asarray(bh[s['n']])},
+        'wi': {'kernel': jnp.asarray(np.asarray(wi).T),
+               'bias': jnp.asarray(bias)},
+        'wh': {'kernel': jnp.asarray(np.asarray(wh).T)},
+        'bhn': jnp.asarray(bh[2 * H:]),
     }
 
 
