@@ -343,7 +343,40 @@ def bench_one(name, spec, n_iters=50):
     return row
 
 
+def _tpu_reachable(timeout_s=240):
+    """Probe backend init in a SUBPROCESS.
+
+    A down axon tunnel makes jax.devices() hang ~10 minutes in-process
+    (observed round 3); the driver's bench artifact is better served by a
+    fast structured failure line than by an apparent hang.  Probe cost
+    when the tunnel is healthy: one backend init (~20-30s).
+    """
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, '-c', 'import jax; jax.devices()'],
+            timeout=timeout_s, capture_output=True)
+        err = (r.stderr or b'').decode('utf-8', 'replace')[-300:]
+        return r.returncode == 0, err
+    except subprocess.TimeoutExpired:
+        return False, f'backend init timed out after {timeout_s}s ' \
+            '(axon tunnel down?)'
+
+
 def main():
+    if os.environ.get('MPA_PLATFORM', '') != 'cpu' and \
+            os.environ.get('MPA_BENCH_SKIP_PROBE', '') != '1':
+        ok, err = _tpu_reachable()
+        if not ok:
+            print(json.dumps({
+                'metric': 'pn_transformer_everyday_train_samples_per_sec'
+                          '_per_chip',
+                'value': 0.0, 'unit': 'samples/s/chip', 'vs_baseline': 0.0,
+                'error': f'TPU unreachable: {err}',
+            }))
+            raise SystemExit(1)
+
     from multi_part_assembly_tpu.parallel import init_distributed
     init_distributed()  # honors MPA_PLATFORM/MPA_NUM_CPU_DEVICES overrides
     only = os.environ.get('MPA_BENCH_MODELS', '')

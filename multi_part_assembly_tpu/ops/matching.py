@@ -160,9 +160,16 @@ def match_parts(part_pcs, pred_trans, pred_rot, gt_trans, gt_rot, match_ids,
     B, P, N, _ = part_pcs.shape
     match_ids = match_ids.astype(jnp.int32)
 
-    # subsample points for speed (same subsample for every part, as in ref)
+    # subsample points for speed (same subsample for every part, as in ref).
+    # The row pick is a one-hot selection matmul: XLA lowers a fancy-index
+    # gather of whole [3] rows to a sequential per-index loop on TPU (same
+    # hazard as datasets/geometry.py `unpack_parts`); HIGHEST precision
+    # keeps the selected coordinates bit-exact (products with 0/1 only).
     sample_idx = jax.random.permutation(sample_key, N)[:n_sample]
-    pts = part_pcs[:, :, sample_idx]  # [B, P, n, 3]
+    sel = (sample_idx[:, None] ==
+           jnp.arange(N, dtype=sample_idx.dtype)[None]).astype(jnp.float32)
+    pts = jnp.einsum('sn,bpnc->bpsc', sel, part_pcs,
+                     precision=jax.lax.Precision.HIGHEST)  # [B, P, n, 3]
 
     pts_pred = transform_pc(pred_trans, pred_rot, pts, rot_type=rot_type)
     pts_gt = transform_pc(gt_trans, gt_rot, pts, rot_type=rot_type)
