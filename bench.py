@@ -181,19 +181,39 @@ def bench_one(name, spec, n_iters=50):
         default_spc = '1' if os.environ.get('MPA_BENCH_SMOKE') else '8'
         spc = int(os.environ.get('MPA_BENCH_SPC', default_spc))
 
+    # device-side mesh sampling (datasets/device_sampler.py): the wire
+    # carries piece slot ids instead of point clouds.  The cold row keeps
+    # the host wire on purpose -- it models the re-parse + full-wire
+    # regime of datasets whose tables outgrow HBM.
+    tables = None
+    if (cfg.data.dataset == 'geometry' and not spec.get('cold')
+            and getattr(train_loader, 'batch_collate', False)
+            and not os.environ.get('MPA_BENCH_HOST_WIRE')):
+        from multi_part_assembly_tpu.datasets.geometry import \
+            enable_device_sampling
+        tables = enable_device_sampling(train_loader, cfg, mesh=mesh)
+
     # warm every packed-hop Kpad bucket BEFORE the producer thread starts
     # (compiles + per-shape transfer setup must not land mid-stream), then
     # move the device hop into the producer thread so H2D overlaps compute
     if getattr(train_loader, 'batch_collate', False):
         import jax.numpy as jnp
+        from multi_part_assembly_tpu.datasets.device_sampler import \
+            warm_sample_cache
         from multi_part_assembly_tpu.datasets.geometry import \
             warm_unpack_cache
         from multi_part_assembly_tpu.train.trainer import install_device_prep
-        warm_unpack_cache(
-            B, cfg.data.max_num_part, cfg.data.num_pc_points, mesh=mesh,
-            data_keys=tuple(cfg.data.data_keys),
-            wire_dtype=jnp.dtype(cfg.data.get('wire_dtype', 'float16')),
-            expand=cfg.data.dataset == 'geometry', group_size=spc)
+        if tables is not None:
+            warm_sample_cache(
+                tables, B, cfg.data.max_num_part, cfg.data.num_pc_points,
+                mesh=mesh, data_keys=tuple(cfg.data.data_keys),
+                group_size=spc, interpret=tables.interpret)
+        else:
+            warm_unpack_cache(
+                B, cfg.data.max_num_part, cfg.data.num_pc_points, mesh=mesh,
+                data_keys=tuple(cfg.data.data_keys),
+                wire_dtype=jnp.dtype(cfg.data.get('wire_dtype', 'float16')),
+                expand=cfg.data.dataset == 'geometry', group_size=spc)
         install_device_prep(train_loader, cfg, mesh)
 
     def batches():
@@ -328,6 +348,7 @@ def bench_one(name, spec, n_iters=50):
         'step_ms': round(dt / n_steps * 1e3, 2),
         'data_wait_ms': round(data_t / n_steps * 1e3, 2),
         'steps_per_call': spc,
+        'wire': 'device-sampling' if tables is not None else 'packed-f16',
     }
     if reparse_bytes is not None:
         row['cold_cache'] = True

@@ -1,0 +1,303 @@
+"""Device-side mesh surface sampling: the data pipeline as a TPU program.
+
+The host wire for geometry (Breaking-Bad) batches used to carry sampled
+point clouds (`[Kpad, N, 3]` float16, ~2MB/batch).  Through the remote
+runtime tunnel this wire is the pipeline's binding resource whenever the
+tunnel is slow (measured this round: ~90MB/s sustained with ~28ms/RPC
+fixed cost -> ~20ms/step of wire wait at batch 32, vs a 25ms device
+floor).  This module moves the SAMPLING onto the device instead:
+
+  * one-time: every mesh piece's triangle table (a, b-a, c-a, from the
+    native parser) + Walker alias table over triangle areas is packed into
+    a resident `[n_pieces, 16, Fmax]` f32 array in HBM;
+  * per batch: the wire carries only `part_slots__packed [Kpad] i32`
+    (which piece each packed row is) + `part_counts [B]` + one seed --
+    a few KB instead of megabytes;
+  * a pallas kernel (grid = packed rows) draws N area-weighted surface
+    points per part: the alias-method face draw and the triangle fetch
+    are each ONE one-hot MXU matmul against the piece's table tile
+    (random per-point gathers do not vectorize on TPU; iota-compare
+    one-hot selection is the TPU idiom, see ops/chamfer.py backward),
+    then the barycentric mix is 6 VPU fmas per point -- the same math as
+    the native sampler's inner loop (mesh_sampler.cpp sample_mesh_t) and
+    trimesh.sample_surface (reference geometry_data.py:109-131).
+
+Sampling distribution is identical to the host path (same alias tables,
+f32 draw math); the RNG stream is jax threefry keyed per (epoch, batch)
+instead of PCG32 per (epoch, item, part) -- a documented stream change,
+like the round-2 alias-table switch (ROADMAP "Known deviations").
+
+Fallbacks: anything without meshes (PartNet npy), multi-device data axes,
+or a table that would blow the HBM budget keeps the packed f16 host wire.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # pltpu only resolves on TPU builds; tests run in interpret mode
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PLTPU = True
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+__all__ = ['DeviceTables', 'build_device_tables', 'sample_packed',
+           'sample_packed_ref', 'sample_and_expand', 'sample_and_expand_multi',
+           'warm_sample_cache']
+
+# table row layout (per piece, [16, Fmax] f32)
+_ROW_TRI = 0      # rows 0-8: a.xyz, (b-a).xyz, (c-a).xyz, component-major
+_ROW_PROB = 9     # alias acceptance threshold
+_ROW_ALIAS = 10   # alias face index (f32-encoded, exact below 2^24)
+_N_ROWS = 16
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _on_tpu():
+    return jax.default_backend() == 'tpu' or \
+        jax.default_backend() not in ('cpu', 'gpu')
+
+
+class DeviceTables:
+    """Device-resident sampling tables + the host path->slot map."""
+
+    def __init__(self, table, n_faces, slot_of, fmax, interpret=False):
+        self.table = table      # [n_pieces, 16, Fmax] f32 (device)
+        self.n_faces = n_faces  # [n_pieces] i32 (device)
+        self.slot_of = slot_of  # mesh path -> slot
+        self.fmax = fmax
+        # interpret-mode pallas (CPU tests); set by the enabling caller
+        self.interpret = interpret
+
+    @property
+    def nbytes(self):
+        return self.table.size * 4 + self.n_faces.size * 4
+
+
+def build_device_tables(paths, sampler, put=None,
+                        budget_bytes=4 * 1024 ** 3, fmax=None):
+    """Assemble + upload the sampling tables for `paths` (one-time).
+
+    `sampler` is a mesh_io.MeshSampler (native or numpy fallback); `put`
+    places the finished arrays (e.g. a replicated NamedSharding put);
+    returns None when the single-Fmax table would exceed `budget_bytes`
+    (callers then keep the host wire; per-face-count bucketed tables are
+    the upgrade path for real-data scale, see ROADMAP)."""
+    paths = list(dict.fromkeys(paths))  # stable unique order
+    if not paths:
+        return None
+    counts = [sampler.n_faces(p) for p in paths]
+    if fmax is None:
+        fmax = max(128, _round_up(max(counts), 128))
+    if max(counts) > fmax:
+        return None
+    n_pieces = len(paths)
+    if n_pieces * _N_ROWS * fmax * 4 > budget_bytes:
+        return None
+    table = np.zeros((n_pieces, _N_ROWS, fmax), np.float32)
+    n_faces = np.asarray(counts, np.int32)
+    for i, p in enumerate(paths):
+        tri9, prob, alias, _ = sampler.export_tables(p, fmax)
+        table[i, _ROW_TRI:_ROW_TRI + 9] = tri9
+        table[i, _ROW_PROB] = prob
+        table[i, _ROW_ALIAS] = alias
+    put = put or jax.device_put
+    return DeviceTables(put(jnp.asarray(table)),
+                        put(jnp.asarray(n_faces)),
+                        {p: i for i, p in enumerate(paths)}, fmax)
+
+
+def _sample_kernel(slots_ref, fs_ref, tbl_ref, u_ref, out_ref, *, fmax,
+                   npad):
+    """One program per packed part row.
+
+    tbl_ref: [1, 16, Fmax] f32, the piece's table (block index rides the
+    scalar-prefetched slot array).  u_ref: [1, 8, Npad] f32 uniforms, rows
+    0 = face draw, 1 = sqrt arg, 2 = barycentric mix (rows 3-7 unused
+    sublane padding).  out_ref: [1, 8, Npad] f32, rows 0-2 = xyz.
+
+    The alias-method face draw (mesh_sampler.cpp sample_mesh_t): the draw
+    needs prob[f0], alias[f0] and then the alias face's triangle -- all
+    per-point random access.  Each is extracted with an iota-compare
+    one-hot and ONE [16, Fmax] @ [Fmax, Npad] MXU matmul (HIGHEST: the
+    operand split reconstructs the f32 table values exactly under a 0/1
+    selector), so the whole draw is two matmuls + VPU selects.
+    """
+    k = pl.program_id(0)
+    t = tbl_ref[0]                      # [16, Fmax]
+    u = u_ref[0]                        # [8, Npad]
+    F = fs_ref[k].astype(jnp.float32)
+
+    rf = u[0:1, :] * F                  # [1, Npad]
+    f0 = jnp.minimum(jnp.floor(rf), F - 1.0)
+    frac = rf - f0
+
+    iota = jax.lax.broadcasted_iota(jnp.float32, (fmax, npad), 0)
+    oh0 = (iota == f0).astype(jnp.float32)          # [Fmax, Npad]
+    sel0 = jax.lax.dot_general(
+        t, oh0, (((1, ), (0, )), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)        # [16, Npad] rows at f0
+    accept = frac < sel0[_ROW_PROB:_ROW_PROB + 1, :]
+    f1 = sel0[_ROW_ALIAS:_ROW_ALIAS + 1, :]         # alias face (f32 ints)
+    oh1 = (iota == f1).astype(jnp.float32)
+    sel1 = jax.lax.dot_general(
+        t, oh1, (((1, ), (0, )), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)        # [16, Npad] rows at f1
+    sel = jnp.where(accept, sel0, sel1)
+
+    su = jnp.sqrt(u[1:2, :])
+    b1 = su * (1.0 - u[2:3, :])
+    b2 = su * u[2:3, :]
+    pts = sel[0:3, :] + b1 * sel[3:6, :] + b2 * sel[6:9, :]
+    out_ref[0, 0:3, :] = pts
+    out_ref[0, 3:8, :] = jnp.zeros((5, npad), jnp.float32)
+
+
+def _sample_points(table, n_faces, slots, uniforms, n_points,
+                   interpret=False):
+    """[K] slots + [K, 8, Npad] uniforms -> [K, n_points, 3] f32."""
+    K = slots.shape[0]
+    fmax = table.shape[2]
+    npad = uniforms.shape[2]
+    if not _HAS_PLTPU:  # pragma: no cover - CPU-only jax builds
+        return sample_packed_ref(table, n_faces, slots, uniforms, n_points)
+    kwargs = {} if interpret else {
+        'compiler_params': pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)}
+    out = pl.pallas_call(
+        functools.partial(_sample_kernel, fmax=fmax, npad=npad),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # slots (block index), n_faces
+            grid=(K, ),
+            in_specs=[
+                pl.BlockSpec((1, _N_ROWS, fmax),
+                             lambda k, slots, fs: (slots[k], 0, 0)),
+                pl.BlockSpec((1, 8, npad), lambda k, slots, fs: (k, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 8, npad),
+                                   lambda k, slots, fs: (k, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((K, 8, npad), jnp.float32),
+        interpret=interpret,
+        **kwargs,
+    )(slots.astype(jnp.int32), n_faces.astype(jnp.int32), table, uniforms)
+    return jnp.transpose(out[:, 0:3, :n_points], (0, 2, 1))
+
+
+def sample_packed(table, n_faces, slots, key, n_points, interpret=False):
+    """Draw [K, n_points, 3] area-weighted surface samples on device."""
+    K = slots.shape[0]
+    npad = _round_up(n_points, 128)
+    uniforms = jax.random.uniform(key, (K, 8, npad), jnp.float32)
+    return _sample_points(table, n_faces, slots, uniforms, n_points,
+                          interpret=interpret)
+
+
+def sample_packed_ref(table, n_faces, slots, uniforms, n_points):
+    """Pure-jnp oracle (gather-based) for the kernel's exact math."""
+    t = jnp.asarray(table)[jnp.asarray(slots)]      # [K, 16, Fmax]
+    u = jnp.asarray(uniforms)                       # [K, 8, Npad]
+    F = jnp.asarray(n_faces)[jnp.asarray(slots)].astype(jnp.float32)
+    rf = u[:, 0, :] * F[:, None]                    # [K, Npad]
+    f0 = jnp.minimum(jnp.floor(rf), F[:, None] - 1.0)
+    frac = rf - f0
+    f0i = f0.astype(jnp.int32)
+    prob0 = jnp.take_along_axis(t[:, _ROW_PROB], f0i, axis=1)
+    alias0 = jnp.take_along_axis(t[:, _ROW_ALIAS], f0i, axis=1)
+    f = jnp.where(frac < prob0, f0, alias0).astype(jnp.int32)
+    tri = jnp.take_along_axis(
+        t[:, _ROW_TRI:_ROW_TRI + 9], f[:, None, :], axis=2)  # [K, 9, Npad]
+    su = jnp.sqrt(u[:, 1, :])
+    b1 = su * (1.0 - u[:, 2, :])
+    b2 = su * u[:, 2, :]
+    pts = tri[:, 0:3] + b1[:, None, :] * tri[:, 3:6] + \
+        b2[:, None, :] * tri[:, 6:9]
+    return jnp.transpose(pts[:, :, :n_points], (0, 2, 1))
+
+
+_BASE_KEY = 0x5e1ec7ab  # sampling stream domain separator
+
+
+@functools.partial(jax.jit, static_argnames=('n_points', 'max_parts',
+                                             'data_keys', 'interpret'))
+def sample_and_expand(table, n_faces, slots, counts, seed, n_points,
+                      max_parts, data_keys, interpret=False):
+    """Slot wire -> full dense batch, entirely on device.
+
+    Drop-in for the f16 packed wire's `expand_geometry_batch` hop
+    (datasets/geometry.py): sample, then the same derive-on-device
+    expansion."""
+    from .geometry import expand_geometry_batch
+    key = jax.random.fold_in(jax.random.PRNGKey(_BASE_KEY), seed)
+    packed = sample_packed(table, n_faces, slots, key, n_points,
+                           interpret=interpret)
+    return expand_geometry_batch(packed, counts, max_parts=max_parts,
+                                 data_keys=data_keys)
+
+
+@functools.partial(jax.jit, static_argnames=('n_points', 'max_parts',
+                                             'data_keys', 'interpret'))
+def sample_and_expand_multi(table, n_faces, slots, counts, seeds, n_points,
+                            max_parts, data_keys, interpret=False):
+    """Grouped slot wire ([G, Kpad] slots, [G, B] counts, [G] seeds) ->
+    stacked dense batches in ONE device dispatch (one pallas call over the
+    flattened G*Kpad rows; uniform streams stay keyed per (seed_g))."""
+    from .geometry import expand_geometry_batch_multi
+    G, K = slots.shape
+    npad = _round_up(n_points, 128)
+    keys = jax.vmap(
+        lambda s: jax.random.fold_in(jax.random.PRNGKey(_BASE_KEY), s))(seeds)
+    uniforms = jax.vmap(
+        lambda k: jax.random.uniform(k, (K, 8, npad), jnp.float32))(keys)
+    packed = _sample_points(table, n_faces, slots.reshape(G * K),
+                            uniforms.reshape(G * K, 8, npad), n_points,
+                            interpret=interpret)
+    packed = packed.reshape(G, K, n_points, 3)
+    return expand_geometry_batch_multi(packed, counts, max_parts=max_parts,
+                                       data_keys=tuple(data_keys))
+
+
+def warm_sample_cache(tables, batch_size, max_parts, n_points, mesh=None,
+                      data_keys=('part_ids', 'valid_matrix'), group_size=1,
+                      interpret=False):
+    """Pre-compile the slot-wire device hop for every Kpad bucket (same
+    rationale as geometry.warm_unpack_cache: remote compiles are
+    minutes-level and must not land mid-epoch)."""
+    put = (lambda x: x) if mesh is None else functools.partial(
+        jax.device_put,
+        device=jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()))
+    dense = batch_size * max_parts
+    step = max(1, -(-dense // 8))
+    seen = set()
+    for mult in range(1, 9):
+        k = min(dense, step * mult)
+        if k in seen:
+            continue
+        seen.add(k)
+        out = sample_and_expand(
+            tables.table, tables.n_faces,
+            put(jnp.zeros((k, ), jnp.int32)),
+            put(jnp.ones((batch_size, ), jnp.int32)),
+            put(jnp.zeros((), jnp.int32)),
+            n_points=n_points, max_parts=max_parts,
+            data_keys=tuple(data_keys), interpret=interpret)
+        jax.block_until_ready(out)
+        if group_size > 1:
+            out2 = sample_and_expand_multi(
+                tables.table, tables.n_faces,
+                put(jnp.zeros((group_size, k), jnp.int32)),
+                put(jnp.ones((group_size, batch_size), jnp.int32)),
+                put(jnp.zeros((group_size, ), jnp.int32)),
+                n_points=n_points, max_parts=max_parts,
+                data_keys=tuple(data_keys), interpret=interpret)
+            jax.block_until_ready(out2)

@@ -68,6 +68,10 @@ class GeometryPartDataset:
             self.data_list = self.data_list[:overfit]
         self._epoch_seed = 0
         self._file_cache = {}  # index -> sorted mesh paths (dirs are static)
+        # device-side sampling tables (see datasets/device_sampler.py);
+        # set via enable_device_sampling -> collate_batch emits the slot
+        # wire instead of sampled points
+        self._device_tables = None
 
     def _read_data(self, data_fn):
         """Walk the fracture dirs, keep those with valid part counts
@@ -159,6 +163,45 @@ class GeometryPartDataset:
         step = max(1, -(-dense // 8))
         return min(dense, -(-max(total_parts, 1) // step) * step)
 
+    def all_mesh_paths(self):
+        """Every piece mesh path in this split, stable order (registry
+        build for the device sampler; bypasses part shuffling)."""
+        paths = []
+        for item in self.data_list:
+            folder = os.path.join(self.data_dir, item)
+            paths += [os.path.join(folder, f)
+                      for f in sorted(os.listdir(folder))]
+        return paths
+
+    def _collate_slots(self, indices):
+        """Device-sampling wire: the host ships WHICH pieces each packed
+        row is (`part_slots__packed [Kpad] i32`) + per-sample counts + one
+        RNG seed; the TPU draws the surface points itself
+        (device_sampler.sample_and_expand).  A few KB per batch instead of
+        the ~2MB f16 point wire -- the binding resource when the remote
+        runtime tunnel is slow (~90MB/s measured, ROADMAP)."""
+        B, P = len(indices), self.max_num_part
+        slot_of = self._device_tables.slot_of
+        slots, counts = [], []
+        for index in indices:
+            files = self._mesh_files(index)
+            counts.append(len(files))
+            slots += [slot_of[f] for f in files]
+        K = len(slots)
+        kpad = self._kpad(K, B * P)
+        arr = np.zeros((kpad, ), np.int32)
+        arr[:K] = slots
+        # deterministic per (epoch, batch): epoch ordering is seeded, so
+        # indices[0] is unique per batch within an epoch
+        seed = np.int32((self._epoch_seed + int(indices[0])) & 0x7fffffff)
+        return {
+            'part_slots__packed': arr,
+            'part_counts': np.asarray(counts, np.int32),
+            'sample_seed': seed,
+            '__tables__': self._device_tables,
+            'data_id': np.asarray(indices, np.int64),
+        }
+
     def collate_batch(self, indices):
         """Collate a whole batch with ONE native sampling call and a
         MINIMAL wire format: `part_pcs_raw__packed [Kpad, N, 3]`
@@ -174,6 +217,8 @@ class GeometryPartDataset:
         x f16).  Enabled by the loader only when one device consumes the
         whole local batch (the packed array has no batch axis to shard).
         """
+        if self._device_tables is not None:
+            return self._collate_slots(indices)
         B, P, N = len(indices), self.max_num_part, self.num_points
         all_paths, seeds, counts = [], [], []
         for index in indices:
@@ -383,6 +428,36 @@ def augment_geometry_batch(part_pcs_raw, part_valids, key, rot_range=-1.0,
     gt_quat = gt_quat * valid
     gt_trans = centroid * valid
     return {'part_pcs': pcs, 'part_quat': gt_quat, 'part_trans': gt_trans}
+
+
+def enable_device_sampling(loader, cfg, mesh=None, budget_bytes=None):
+    """Switch a geometry loader to device-side mesh sampling.
+
+    Builds + uploads the sampling tables once (datasets/device_sampler.py)
+    and flips the dataset's collate to the slot wire.  Returns the tables,
+    or None when the loader/dataset does not qualify (no packed collation,
+    non-geometry dataset, table over the HBM budget) -- the packed f16
+    host wire then stays in effect."""
+    from .device_sampler import build_device_tables
+    ds = loader.dataset
+    if not getattr(loader, 'batch_collate', False) or \
+            not isinstance(ds, GeometryPartDataset):
+        return None
+    if ds._device_tables is not None:
+        return ds._device_tables
+    put = None
+    if mesh is not None:
+        put = functools.partial(
+            jax.device_put, device=jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()))
+    kwargs = {} if budget_bytes is None else {'budget_bytes': budget_bytes}
+    tables = build_device_tables(ds.all_mesh_paths(), ds.sampler, put=put,
+                                 **kwargs)
+    if tables is None:
+        return None
+    tables.interpret = jax.default_backend() == 'cpu'
+    ds._device_tables = tables
+    return tables
 
 
 def build_geometry_dataloader(cfg, sampler=None):

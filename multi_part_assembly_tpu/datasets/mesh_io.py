@@ -66,6 +66,15 @@ def _get_lib():
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int]
+        try:  # device-sampler table export (round-3 .so builds onward)
+            lib.mpa_export_tables.restype = ctypes.c_int64
+            lib.mpa_export_tables.argtypes = [
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float)]
+        except AttributeError:
+            pass
         try:  # f16 wire-format entries (absent in pre-round-3 .so builds)
             lib.mpa_sample_batch_f16.restype = ctypes.c_int
             lib.mpa_sample_batch_f16.argtypes = [
@@ -128,6 +137,28 @@ def load_obj_numpy(path):
                 for k in range(2, len(idx)):  # polygon fan
                     faces.append([idx[0], idx[k - 1], idx[k]])
     return (np.asarray(verts, np.float32), np.asarray(faces, np.int32))
+
+
+def build_alias_table(areas):
+    """Walker/Vose alias table over triangle areas -> (prob f32, alias f32).
+
+    Mirrors the native builder (mesh_sampler.cpp build_areas) stack order
+    exactly, so the numpy fallback exports bit-matching tables."""
+    areas = np.asarray(areas, np.float64)
+    nf = len(areas)
+    scaled = areas / areas.sum() * nf
+    prob = np.ones(nf, np.float64)
+    alias = np.arange(nf, dtype=np.int64)
+    small = [f for f in range(nf) if scaled[f] < 1.0]
+    large = [f for f in range(nf) if scaled[f] >= 1.0]
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        prob[s] = scaled[s]
+        alias[s] = l
+        scaled[l] -= 1.0 - scaled[s]
+        (small if scaled[l] < 1.0 else large).append(l)
+    return prob.astype(np.float32), alias.astype(np.float32)
 
 
 def sample_surface_numpy(verts, faces, n_points, rng):
@@ -227,6 +258,59 @@ class MeshSampler:
         for i, (p, s) in enumerate(zip(paths, seeds)):
             out[i] = self.sample(p, n_points, int(s))  # np casts if f16
         return out
+
+    def n_faces(self, path):
+        """Triangle count of a cached mesh (loads it if needed)."""
+        self.load(path)
+        if self._lib is not None:
+            nv = ctypes.c_int64()
+            nf = ctypes.c_int64()
+            rc = self._lib.mpa_mesh_stats(
+                self._handles[path], ctypes.byref(nv), ctypes.byref(nf))
+            if rc != 0:
+                raise IOError(f'mesh stats failed for {path}')
+            return int(nf.value)
+        return int(len(self._np_cache[path][1]))
+
+    def export_tables(self, path, f_pad):
+        """Device-sampler tables for one cached mesh (see device_sampler.py).
+
+        Returns (tri9 [9, f_pad] f32 component-major (a, b-a, c-a),
+        prob [f_pad] f32 alias acceptance, alias [f_pad] f32-encoded alias
+        face indices, n_faces).  Padding rows: tri 0, prob 1.0, alias self
+        -- an f0 drawn as floor(u * n_faces) never lands there."""
+        self.load(path)
+        tri9 = np.empty((9, f_pad), np.float32)
+        prob = np.empty((f_pad, ), np.float32)
+        alias = np.empty((f_pad, ), np.float32)
+        if self._lib is not None and hasattr(self._lib, 'mpa_export_tables'):
+            nf = self._lib.mpa_export_tables(
+                self._handles[path], ctypes.c_int64(f_pad),
+                tri9.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                prob.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                alias.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            if nf < 0:
+                raise ValueError(
+                    f'export_tables failed for {path} (f_pad={f_pad})')
+            return tri9, prob, alias, int(nf)
+        verts, faces = self._np_cache.get(path) or load_obj_numpy(path)
+        nf = len(faces)
+        if f_pad < nf:
+            raise ValueError(f'export_tables: f_pad {f_pad} < n_faces {nf}')
+        v0, v1, v2 = (verts[faces[:, k]] for k in range(3))
+        tri9[:] = 0.0
+        tri9[0:3, :nf] = v0.T
+        tri9[3:6, :nf] = (v1 - v0).T
+        tri9[6:9, :nf] = (v2 - v0).T
+        areas = 0.5 * np.linalg.norm(
+            np.cross((v1 - v0).astype(np.float64),
+                     (v2 - v0).astype(np.float64)), axis=-1)
+        p, a = build_alias_table(areas)
+        prob[:nf] = p
+        prob[nf:] = 1.0
+        alias[:nf] = a
+        alias[nf:] = np.arange(nf, f_pad, dtype=np.float32)
+        return tri9, prob, alias, nf
 
     def close(self):
         if self._lib is not None:

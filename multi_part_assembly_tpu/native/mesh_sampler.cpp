@@ -368,6 +368,38 @@ int mpa_sample_batch_f16(const int64_t *handles, int n_meshes, int n_points,
   return 0;
 }
 
+// Export the device-sampler tables for a cached mesh (see
+// multi_part_assembly_tpu/datasets/device_sampler.py): the TPU draws
+// surface points itself from a resident triangle table + Walker alias
+// table, so the per-step wire carries piece ids instead of point clouds.
+//   tri9:  [9, f_pad] component-major (rows: a.xyz, (b-a).xyz, (c-a).xyz),
+//          zero past n_faces;
+//   prob:  [f_pad] f32 alias acceptance thresholds (1.0 past n_faces);
+//   alias: [f_pad] f32-encoded alias face indices (exact: indices < 2^24;
+//          self past n_faces).  f32 so the whole table rides one array.
+// Returns n_faces, or -1 if the handle is unknown / f_pad < n_faces.
+int64_t mpa_export_tables(int64_t handle, int64_t f_pad, float *tri9,
+                          float *prob, float *alias) {
+  Mesh *m = get_mesh(handle);
+  if (!m) return -1;
+  int64_t nf = static_cast<int64_t>(m->cum_area.size());
+  if (f_pad < nf) return -1;
+  for (int d = 0; d < 9; ++d) {
+    float *row = tri9 + d * f_pad;
+    for (int64_t f = 0; f < nf; ++f) row[f] = m->tri[9 * f + d];
+    for (int64_t f = nf; f < f_pad; ++f) row[f] = 0.0f;
+  }
+  for (int64_t f = 0; f < nf; ++f) {
+    prob[f] = static_cast<float>(m->alias_prob[f]);
+    alias[f] = static_cast<float>(m->alias_index[f]);
+  }
+  for (int64_t f = nf; f < f_pad; ++f) {
+    prob[f] = 1.0f;
+    alias[f] = static_cast<float>(f);
+  }
+  return nf;
+}
+
 // Bulk f32 -> f16 conversion (vectorized via F16C under -march=native).
 // numpy's astype(np.float16) measured ~3ms for a 2.6MB PartNet batch on
 // this 1-CPU container; this does the same in ~0.1ms.

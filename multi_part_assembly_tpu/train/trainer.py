@@ -210,19 +210,33 @@ def _prep_batch(batch, cfg, mesh, rng, augment=True):
         real_bs = batch['__real_bs__']
         batch = {k: v for k, v in batch.items() if k != '__real_bs__'}
     elif 'part_counts' in batch:
-        # minimal geometry wire: packed f16 rows + per-sample counts; all
+        # minimal geometry wire: packed f16 rows (or, with device-side
+        # sampling, just the piece slot ids) + per-sample counts; all
         # small keys derive on device (expand is its own small jitted fn,
         # so only IT recompiles across Kpad buckets -- the AOT-compiled
         # train/eval steps always see the fixed [B, P, N, 3] contract)
         assert mesh.shape['data'] == 1, \
             'minimal packed wire requires a single-device data axis'
         real_bs = int(batch['part_counts'].shape[0])
-        device = {k: v for k, v in batch.items() if k not in _DROP_KEYS}
+        tables = batch.get('__tables__')
+        device = {k: v for k, v in batch.items()
+                  if k not in _DROP_KEYS and k != '__tables__'}
         device = shard_batch(device, mesh)
-        batch = expand_geometry_batch(
-            device['part_pcs_raw__packed'], device['part_counts'],
-            max_parts=int(cfg.data.max_num_part),
-            data_keys=tuple(cfg.data.data_keys))
+        if tables is not None:  # slot wire: the device samples the meshes
+            from ..datasets.device_sampler import sample_and_expand
+            batch = sample_and_expand(
+                tables.table, tables.n_faces,
+                device['part_slots__packed'], device['part_counts'],
+                jnp.asarray(batch['sample_seed'], jnp.int32),
+                n_points=int(cfg.data.num_pc_points),
+                max_parts=int(cfg.data.max_num_part),
+                data_keys=tuple(cfg.data.data_keys),
+                interpret=tables.interpret)
+        else:
+            batch = expand_geometry_batch(
+                device['part_pcs_raw__packed'], device['part_counts'],
+                max_parts=int(cfg.data.max_num_part),
+                data_keys=tuple(cfg.data.data_keys))
     else:
         batch = {k: np.asarray(v) for k, v in batch.items()
                  if k not in _DROP_KEYS}
@@ -285,6 +299,32 @@ def install_device_prep(loader, cfg, mesh, group_size=1):
             raise ValueError('grouped prep requires the geometry packed '
                              'wire (part_counts)')
         G = len(host_batches)
+        counts = np.stack([b['part_counts'] for b in host_batches])
+        if 'part_slots__packed' in host_batches[0]:
+            # device-sampling slot wire: ship [G, Kpad] piece ids + [G]
+            # seeds (a few KB); the TPU samples + expands in ONE dispatch
+            from ..datasets.device_sampler import sample_and_expand_multi
+            tables = host_batches[0]['__tables__']
+            kmax = max(b['part_slots__packed'].shape[0]
+                       for b in host_batches)
+            slots = np.zeros((G, kmax), np.int32)
+            for g, b in enumerate(host_batches):
+                rows = b['part_slots__packed']
+                slots[g, :rows.shape[0]] = rows
+            seeds = np.asarray([b['sample_seed'] for b in host_batches],
+                               np.int32)
+            dev = jax.device_put(
+                {'slots': slots, 'counts': counts, 'seeds': seeds},
+                batch_sharding(mesh))
+            out = sample_and_expand_multi(
+                tables.table, tables.n_faces, dev['slots'], dev['counts'],
+                dev['seeds'], n_points=int(cfg.data.num_pc_points),
+                max_parts=int(cfg.data.max_num_part),
+                data_keys=tuple(cfg.data.data_keys),
+                interpret=tables.interpret)
+            out['__group__'] = G
+            out['__real_bs__'] = int(counts.shape[1])
+            return out
         kmax = max(b['part_pcs_raw__packed'].shape[0] for b in host_batches)
         n, c = host_batches[0]['part_pcs_raw__packed'].shape[1:]
         packed = np.zeros((G, kmax, n, c),
@@ -292,7 +332,6 @@ def install_device_prep(loader, cfg, mesh, group_size=1):
         for g, b in enumerate(host_batches):
             rows = b['part_pcs_raw__packed']
             packed[g, :rows.shape[0]] = rows
-        counts = np.stack([b['part_counts'] for b in host_batches])
         dev = jax.device_put({'packed': packed, 'counts': counts},
                              batch_sharding(mesh))
         out = expand_geometry_batch_multi(
@@ -329,16 +368,40 @@ class Trainer:
                         and jax.default_backend() != 'cpu') else 1
         self.steps_per_call = spc
         if getattr(self.train_loader, 'batch_collate', False):
-            from ..datasets.geometry import warm_unpack_cache
-            for bs in {cfg.exp.batch_size, cfg.exp.batch_size * 2}:
-                warm_unpack_cache(
-                    bs, cfg.data.max_num_part, cfg.data.num_pc_points,
-                    mesh=self.mesh, data_keys=tuple(cfg.data.data_keys),
-                    wire_dtype=jnp.dtype(
-                        cfg.data.get('wire_dtype', 'float16')),
-                    expand=cfg.data.dataset == 'geometry',
-                    group_size=self.steps_per_call
-                    if bs == cfg.exp.batch_size else 1)
+            from ..datasets.geometry import (enable_device_sampling,
+                                             warm_unpack_cache)
+            # device-side mesh sampling (datasets/device_sampler.py): the
+            # wire carries piece ids instead of point clouds.  'auto' = on
+            # whenever the run is on real accelerators (on the CPU backend
+            # the host wire is free and interpret-mode pallas is not)
+            dev_sampling = cfg.data.get('device_sampling', 'auto')
+            if dev_sampling == 'auto':
+                dev_sampling = (jax.default_backend() != 'cpu'
+                                and cfg.data.dataset == 'geometry')
+            if dev_sampling:
+                enable_device_sampling(self.train_loader, cfg,
+                                       mesh=self.mesh)
+                enable_device_sampling(self.val_loader, cfg, mesh=self.mesh)
+            from ..datasets.device_sampler import warm_sample_cache
+            for loader, bs in ((self.train_loader, cfg.exp.batch_size),
+                               (self.val_loader, cfg.exp.batch_size * 2)):
+                spc = self.steps_per_call \
+                    if loader is self.train_loader else 1
+                tables = getattr(loader.dataset, '_device_tables', None)
+                if tables is not None:
+                    warm_sample_cache(
+                        tables, bs, cfg.data.max_num_part,
+                        cfg.data.num_pc_points, mesh=self.mesh,
+                        data_keys=tuple(cfg.data.data_keys),
+                        group_size=spc, interpret=tables.interpret)
+                else:
+                    warm_unpack_cache(
+                        bs, cfg.data.max_num_part, cfg.data.num_pc_points,
+                        mesh=self.mesh, data_keys=tuple(cfg.data.data_keys),
+                        wire_dtype=jnp.dtype(
+                            cfg.data.get('wire_dtype', 'float16')),
+                        expand=cfg.data.dataset == 'geometry',
+                        group_size=spc)
             # producer-thread device placement (H2D overlaps device compute)
             install_device_prep(self.train_loader, cfg, self.mesh)
             install_device_prep(self.val_loader, cfg, self.mesh)
