@@ -139,15 +139,17 @@ def _sample_kernel(slots_ref, fs_ref, tbl_ref, u_ref, out_ref, *, fmax,
     f0 = jnp.minimum(jnp.floor(rf), F - 1.0)
     frac = rf - f0
 
-    iota = jax.lax.broadcasted_iota(jnp.float32, (fmax, npad), 0)
-    oh0 = (iota == f0).astype(jnp.float32)          # [Fmax, Npad]
+    # Mosaic only lowers integer iota; face ids are exact below 2^24 so
+    # the int32 compare is lossless.
+    iota = jax.lax.broadcasted_iota(jnp.int32, (fmax, npad), 0)
+    oh0 = (iota == f0.astype(jnp.int32)).astype(jnp.float32)  # [Fmax, Npad]
     sel0 = jax.lax.dot_general(
         t, oh0, (((1, ), (0, )), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)        # [16, Npad] rows at f0
     accept = frac < sel0[_ROW_PROB:_ROW_PROB + 1, :]
     f1 = sel0[_ROW_ALIAS:_ROW_ALIAS + 1, :]         # alias face (f32 ints)
-    oh1 = (iota == f1).astype(jnp.float32)
+    oh1 = (iota == f1.astype(jnp.int32)).astype(jnp.float32)
     sel1 = jax.lax.dot_general(
         t, oh1, (((1, ), (0, )), ((), ())),
         preferred_element_type=jnp.float32,
