@@ -133,7 +133,11 @@ def _sample_kernel(slots_ref, fs_ref, tbl_ref, u_ref, out_ref, *, fmax,
     k = pl.program_id(0)
     t = tbl_ref[0]                      # [16, Fmax]
     u = u_ref[0]                        # [8, Npad]
-    F = fs_ref[k].astype(jnp.float32)
+    # n_faces is indexed by PIECE SLOT, not by grid row: fs_ref[k] would
+    # read an unrelated piece's face count (and clamp out of bounds past
+    # n_pieces), drawing faces over the wrong range -- caught by the
+    # ragged-table oracle test (equal-face-count fixtures masked it)
+    F = fs_ref[slots_ref[k]].astype(jnp.float32)
 
     rf = u[0:1, :] * F                  # [1, Npad]
     f0 = jnp.minimum(jnp.floor(rf), F - 1.0)
@@ -149,7 +153,10 @@ def _sample_kernel(slots_ref, fs_ref, tbl_ref, u_ref, out_ref, *, fmax,
         precision=jax.lax.Precision.HIGHEST)        # [16, Npad] rows at f0
     accept = frac < sel0[_ROW_PROB:_ROW_PROB + 1, :]
     f1 = sel0[_ROW_ALIAS:_ROW_ALIAS + 1, :]         # alias face (f32 ints)
-    oh1 = (iota == f1.astype(jnp.int32)).astype(jnp.float32)
+    # round, don't truncate: f1 rides the HIGHEST one-hot matmul, which
+    # reconstructs the stored integer exactly, but a one-ULP wobble under
+    # truncation would silently select the previous face (f1 >= 0 always)
+    oh1 = (iota == (f1 + 0.5).astype(jnp.int32)).astype(jnp.float32)
     sel1 = jax.lax.dot_general(
         t, oh1, (((1, ), (0, )), ((), ())),
         preferred_element_type=jnp.float32,
@@ -215,7 +222,9 @@ def sample_packed_ref(table, n_faces, slots, uniforms, n_points):
     f0i = f0.astype(jnp.int32)
     prob0 = jnp.take_along_axis(t[:, _ROW_PROB], f0i, axis=1)
     alias0 = jnp.take_along_axis(t[:, _ROW_ALIAS], f0i, axis=1)
-    f = jnp.where(frac < prob0, f0, alias0).astype(jnp.int32)
+    # +0.5 before trunc == round for these non-negative exact-int floats
+    # (keeps the oracle's face selection identical to the kernel's)
+    f = (jnp.where(frac < prob0, f0, alias0) + 0.5).astype(jnp.int32)
     tri = jnp.take_along_axis(
         t[:, _ROW_TRI:_ROW_TRI + 9], f[:, None, :], axis=2)  # [K, 9, Npad]
     su = jnp.sqrt(u[:, 1, :])

@@ -138,6 +138,12 @@ class JSONLLogger:
                             for k in echo if k in record)
             print(msg, flush=True)
 
+    def log_assemblies(self, tag, gt_pcs, pred_pcs_list, valids, colors,
+                       step=None, max_shapes=3):
+        """3D assembly hook: scalar-only sinks no-op (the PLY export in
+        Trainer._export_val_vis is the on-disk record); the wandb mirror
+        overrides this with Object3D uploads (reference callback.py:30-35)."""
+
     def close(self):
         self._f.close()
 
@@ -169,6 +175,31 @@ class WandbLogger(JSONLLogger):
                        if isinstance(v, (int, float)) or hasattr(v, 'item')}
             self._wandb.log(numeric,
                             step=None if step is None else int(step))
+
+    def log_assemblies(self, tag, gt_pcs, pred_pcs_list, valids, colors,
+                       step=None, max_shapes=3):
+        """Mirror sampled assemblies into the run as wandb.Object3D point
+        clouds, the reference's per-val-epoch 3D logging
+        (reference utils/callback.py:30-35 logs gt + one cloud per MoN
+        sample).  Columns are xyzrgb via colorize_part_pc."""
+        if self._wandb is None:
+            return
+        import wandb
+
+        from ..utils.misc import colorize_part_pc
+        gt = np.asarray(gt_pcs)
+        valids = np.asarray(valids)
+        colors = np.asarray(colors)
+        objs = {}
+        for b in range(min(max_shapes, gt.shape[0])):
+            p = max(1, int(valids[b].sum()))
+            objs[f'{tag}/gt_{b}'] = wandb.Object3D(
+                colorize_part_pc(gt[b, :p], colors).reshape(-1, 6))
+            for s, pred in enumerate(pred_pcs_list):
+                objs[f'{tag}/pred{s}_{b}'] = wandb.Object3D(
+                    colorize_part_pc(np.asarray(pred)[b, :p],
+                                     colors).reshape(-1, 6))
+        self._wandb.log(objs, step=None if step is None else int(step))
 
     def close(self):
         if self._wandb is not None:
@@ -688,11 +719,16 @@ class Trainer:
                 self.model, variables, device_batch, self._next_rng(),
                 rot_type=self.cfg.model.rot_type,
                 sample_iter=self.cfg.loss.get('sample_iter', 1))
+            gt_cut = jax.tree_util.tree_map(lambda x: x[:bs], gt_pcs)
+            preds_cut = [p[:bs] for p in preds]
+            valids_cut = device_batch['part_valids'][:bs]
             export_assembly_samples(
-                jax.tree_util.tree_map(lambda x: x[:bs], gt_pcs),
-                [p[:bs] for p in preds], device_batch['part_valids'][:bs],
+                gt_cut, preds_cut, valids_cut,
                 colors, os.path.join(self.ckp_dir, 'vis'),
                 prefix=f'epoch{epoch}_{split}', max_shapes=min(n_vis, bs))
+            self.logger.log_assemblies(
+                f'assembly/{split}', gt_cut, preds_cut, valids_cut, colors,
+                step=self._host_step, max_shapes=min(n_vis, bs))
 
     def fit(self):
         cfg = self.cfg

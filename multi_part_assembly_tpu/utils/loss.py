@@ -122,14 +122,32 @@ def shape_cd_loss(pts, trans1, trans2, rot1, rot2, valids, ret_pts=False,
     return loss_per_data
 
 
-def repulsion_cd_loss(part_pcs, valids, thre):
-    """Chamfer repulsion pushing parts apart (reference loss.py:205-225)."""
+def repulsion_cd_loss(part_pcs, valids, thre, dense_limit=2 ** 27):
+    """Chamfer repulsion pushing parts apart (reference loss.py:205-225).
+
+    Pairwise chamfer over all P x P part pairs.  Small problems take one
+    dense call; past `dense_limit` pair-distance elements the P^2 input
+    broadcast (~300MB of [B, P, P, N, 3] x2 at default train shapes) is
+    traded for a lax.scan over the i-part axis, which materializes only
+    [B, P, N, 3] per step while computing the identical cd matrix.
+    """
     B, P, N, _ = part_pcs.shape
-    pts1 = jnp.broadcast_to(part_pcs[:, :, None], (B, P, P, N, 3))
-    pts2 = jnp.broadcast_to(part_pcs[:, None, :], (B, P, P, N, 3))
-    d1, d2 = chamfer_distance(
-        pts1.reshape(B * P * P, N, 3), pts2.reshape(B * P * P, N, 3))
-    cd = (jnp.mean(d1, 1) + jnp.mean(d2, 1)).reshape(B, P, P)
+    if B * P * P * N * N <= dense_limit:
+        pts1 = jnp.broadcast_to(part_pcs[:, :, None], (B, P, P, N, 3))
+        pts2 = jnp.broadcast_to(part_pcs[:, None, :], (B, P, P, N, 3))
+        d1, d2 = chamfer_distance(
+            pts1.reshape(B * P * P, N, 3), pts2.reshape(B * P * P, N, 3))
+        cd = (jnp.mean(d1, 1) + jnp.mean(d2, 1)).reshape(B, P, P)
+    else:
+        flat = part_pcs.reshape(B * P, N, 3)
+
+        def row(_, pts_i):  # pts_i: [B, N, 3] = part i of every sample
+            tiled = jnp.broadcast_to(pts_i[:, None], (B, P, N, 3))
+            d1, d2 = chamfer_distance(tiled.reshape(B * P, N, 3), flat)
+            return None, (jnp.mean(d1, 1) + jnp.mean(d2, 1)).reshape(B, P)
+
+        _, cd = jax.lax.scan(row, None, jnp.swapaxes(part_pcs, 0, 1))
+        cd = jnp.transpose(cd, (1, 0, 2))  # [P, B, P] -> [B, P, P]
     cd = jnp.maximum(thre - cd, 0.0)
     valid_mask = valids[:, :, None] * valids[:, None, :]
     return jnp.sum(cd * valid_mask, axis=(1, 2)) / \

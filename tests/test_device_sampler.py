@@ -70,6 +70,31 @@ def test_kernel_matches_oracle(tmp_path):
     np.testing.assert_allclose(np.asarray(ker), np.asarray(ref), atol=1e-6)
 
 
+def test_kernel_matches_oracle_ragged_tables():
+    """Synthetic tables with non-uniform face counts (smaller and larger
+    than the 128 lane width, alias indices up to nf-1): the kernel's
+    one-hot matmul face selection must match the gather oracle exactly
+    even at the Fmax edge (the f32-encoded alias index of face 255 is the
+    largest reconstruction the HIGHEST matmul must return bit-exactly)."""
+    rng = np.random.default_rng(0)
+    n_pieces, fmax, npad = 3, 256, 128
+    table = np.zeros((n_pieces, 16, fmax), np.float32)
+    nf = np.array([200, 37, 256], np.int32)
+    for i in range(n_pieces):
+        table[i, 0:9, :nf[i]] = rng.normal(size=(9, nf[i]))
+        table[i, dsmp._ROW_PROB, :nf[i]] = rng.uniform(size=nf[i])
+        table[i, dsmp._ROW_PROB, nf[i]:] = 1.0
+        table[i, dsmp._ROW_ALIAS, :nf[i]] = \
+            rng.integers(0, nf[i], nf[i]).astype(np.float32)
+        table[i, dsmp._ROW_ALIAS, nf[i]:] = np.arange(nf[i], fmax)
+    t, f = jnp.asarray(table), jnp.asarray(nf)
+    uniforms = jnp.asarray(rng.uniform(size=(6, 8, npad)).astype(np.float32))
+    slots = jnp.asarray([0, 2, 1, 2, 0, 1], jnp.int32)
+    ref = dsmp.sample_packed_ref(t, f, slots, uniforms, 100)
+    ker = dsmp._sample_points(t, f, slots, uniforms, 100, interpret=True)
+    np.testing.assert_allclose(np.asarray(ker), np.asarray(ref), atol=1e-6)
+
+
 def test_sampling_distribution_matches_host(tmp_path):
     """Device draws land on the same surface with the same area weighting
     as the host sampler (same alias tables; jax-threefry uniforms)."""

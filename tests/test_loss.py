@@ -190,3 +190,14 @@ def test_losses_vmappable_over_samples(rng):
     out = jax.vmap(loss_fn)(t1s, q1s.rot)
     assert out.shape == (S, 2)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_repulsion_chunked_matches_dense(rng):
+    """The scan-over-parts path (engaged past the dense memory cutoff)
+    computes the identical repulsion loss as the one-call dense path."""
+    from multi_part_assembly_tpu.utils.loss import repulsion_cd_loss
+    pts, valids, *_ = _setup(rng, B=2, P=4, N=24)
+    dense = np.asarray(repulsion_cd_loss(pts, valids, thre=0.05))
+    chunked = np.asarray(
+        repulsion_cd_loss(pts, valids, thre=0.05, dense_limit=0))
+    np.testing.assert_allclose(chunked, dense, rtol=1e-5, atol=1e-6)
