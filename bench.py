@@ -144,6 +144,11 @@ def bench_one(name, spec, n_iters=50):
     mesh = make_mesh(batch_size=B)
     model = build_model(cfg)
     train_loader, _ = build_dataloader(cfg)
+    if cfg.data.dataset == 'geometry':
+        # lay the fast wire out for the mesh's data axis (no-op on 1 chip)
+        from multi_part_assembly_tpu.datasets.geometry import \
+            configure_wire_shards
+        configure_wire_shards(train_loader, mesh)
 
     reparse_bytes = None
     if spec.get('cold'):
@@ -207,13 +212,16 @@ def bench_one(name, spec, n_iters=50):
             warm_sample_cache(
                 tables, B, cfg.data.max_num_part, cfg.data.num_pc_points,
                 mesh=mesh, data_keys=tuple(cfg.data.data_keys),
-                group_size=spc, interpret=tables.interpret)
+                group_size=spc, interpret=tables.interpret,
+                shards=mesh.shape['data'])
         else:
             warm_unpack_cache(
                 B, cfg.data.max_num_part, cfg.data.num_pc_points, mesh=mesh,
                 data_keys=tuple(cfg.data.data_keys),
                 wire_dtype=jnp.dtype(cfg.data.get('wire_dtype', 'float16')),
-                expand=cfg.data.dataset == 'geometry', group_size=spc)
+                expand=cfg.data.dataset == 'geometry', group_size=spc,
+                shards=mesh.shape['data']
+                if cfg.data.dataset == 'geometry' else 1)
         install_device_prep(train_loader, cfg, mesh)
 
     def batches():

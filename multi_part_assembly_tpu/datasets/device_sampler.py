@@ -47,6 +47,7 @@ except ImportError:  # pragma: no cover
 
 __all__ = ['DeviceTables', 'build_device_tables', 'sample_packed',
            'sample_packed_ref', 'sample_and_expand', 'sample_and_expand_multi',
+           'sample_and_expand_sharded', 'sample_and_expand_multi_sharded',
            'warm_sample_cache']
 
 # table row layout (per piece, [16, Fmax] f32)
@@ -277,16 +278,121 @@ def sample_and_expand_multi(table, n_faces, slots, counts, seeds, n_points,
                                        data_keys=tuple(data_keys))
 
 
+@functools.partial(jax.jit, static_argnames=('mesh', 'n_points', 'max_parts',
+                                              'data_keys', 'interpret'))
+def sample_and_expand_sharded(table, n_faces, slots, counts, seeds, mesh,
+                              n_points, max_parts, data_keys,
+                              interpret=False):
+    """Multi-device slot wire: each device samples only its own rows.
+
+    slots [D, Kpad], counts [D, Bs], seeds [D] arrive sharded on the
+    mesh's `data` axis (D = mesh.shape['data']); the tables are
+    replicated.  A shard_map runs the pallas sampler per device shard (an
+    XLA-partitioned pallas custom call would otherwise be replicated with
+    an all-gather), and the per-shard dense batches concatenate back into
+    a global [D*Bs, ...] batch sharded on `data` -- the exact input
+    contract of the compiled train/eval steps.  No collectives anywhere:
+    the wire is embarrassingly parallel over the data axis.
+    """
+    from jax.sharding import PartitionSpec as P
+    D, Bs = counts.shape
+
+    def _local(table, n_faces, slots, counts, seeds):
+        out = sample_and_expand(
+            table, n_faces, slots[0], counts[0], seeds[0],
+            n_points=n_points, max_parts=max_parts, data_keys=data_keys,
+            interpret=interpret)
+        return jax.tree_util.tree_map(lambda x: x[None], out)
+
+    fn = jax.shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(), P(), P('data'), P('data'), P('data')),
+        out_specs=P('data'), check_vma=False)
+    out = fn(table, n_faces, slots, counts, seeds)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((D * Bs, ) + x.shape[2:]), out)
+
+
+@functools.partial(jax.jit, static_argnames=('mesh', 'n_points', 'max_parts',
+                                              'data_keys', 'interpret'))
+def sample_and_expand_multi_sharded(table, n_faces, slots, counts, seeds,
+                                    mesh, n_points, max_parts, data_keys,
+                                    interpret=False):
+    """Grouped multi-device slot wire: [G, D, Kpad] slots, [G, D, Bs]
+    counts, [G, D] seeds -> stacked dense batches [G, D*Bs, ...] in ONE
+    dispatch (each device runs one pallas call over its G*Kpad rows)."""
+    from jax.sharding import PartitionSpec as P
+    G, D, _ = slots.shape
+    Bs = counts.shape[2]
+
+    def _local(table, n_faces, slots, counts, seeds):
+        out = sample_and_expand_multi(
+            table, n_faces, slots[:, 0], counts[:, 0], seeds[:, 0],
+            n_points=n_points, max_parts=max_parts, data_keys=data_keys,
+            interpret=interpret)
+        return jax.tree_util.tree_map(lambda x: x[:, None], out)
+
+    fn = jax.shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(), P(), P(None, 'data'), P(None, 'data'),
+                  P(None, 'data')),
+        out_specs=P(None, 'data'), check_vma=False)
+    out = fn(table, n_faces, slots, counts, seeds)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((G, D * Bs) + x.shape[3:]), out)
+
+
 def warm_sample_cache(tables, batch_size, max_parts, n_points, mesh=None,
                       data_keys=('part_ids', 'valid_matrix'), group_size=1,
-                      interpret=False):
+                      interpret=False, shards=1, fixed_kpad=False):
     """Pre-compile the slot-wire device hop for every Kpad bucket (same
     rationale as geometry.warm_unpack_cache: remote compiles are
-    minutes-level and must not land mid-epoch)."""
-    put = (lambda x: x) if mesh is None else functools.partial(
+    minutes-level and must not land mid-epoch).
+
+    With shards > 1 the sharded variants are warmed instead, with inputs
+    placed exactly like the real pipeline's (`shard_batch` -> data-axis
+    NamedSharding; jit caches key on input shardings).  `batch_size` is
+    the GLOBAL batch; per-shard rows are batch_size/shards wide.
+    fixed_kpad warms only the dense bucket (the multi-process wire)."""
+    rep = (lambda x: x) if mesh is None else functools.partial(
         jax.device_put,
         device=jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec()))
+    if shards > 1:
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.mesh import put_sharded
+        n_local = shards // jax.process_count()  # local shards per host
+        bs = batch_size // shards
+        dense = bs * max_parts
+        step = max(1, -(-dense // 8))
+        seen = set()
+        for mult in range(1, 9):
+            k = min(dense, step * mult)
+            if k in seen or (fixed_kpad and k != dense):
+                continue
+            seen.add(k)
+            dev = put_sharded({
+                'slots': np.zeros((n_local, k), np.int32),
+                'counts': np.ones((n_local, bs), np.int32),
+                'seeds': np.zeros((n_local, ), np.int32)}, mesh, P('data'))
+            out = sample_and_expand_sharded(
+                tables.table, tables.n_faces, dev['slots'], dev['counts'],
+                dev['seeds'], mesh, n_points=n_points, max_parts=max_parts,
+                data_keys=tuple(data_keys), interpret=interpret)
+            jax.block_until_ready(out)
+            if group_size > 1:
+                gdev = put_sharded({
+                    'slots': np.zeros((group_size, n_local, k), np.int32),
+                    'counts': np.ones((group_size, n_local, bs), np.int32),
+                    'seeds': np.zeros((group_size, n_local), np.int32)},
+                    mesh, P(None, 'data'))
+                out2 = sample_and_expand_multi_sharded(
+                    tables.table, tables.n_faces, gdev['slots'],
+                    gdev['counts'], gdev['seeds'], mesh,
+                    n_points=n_points, max_parts=max_parts,
+                    data_keys=tuple(data_keys), interpret=interpret)
+                jax.block_until_ready(out2)
+        return
     dense = batch_size * max_parts
     step = max(1, -(-dense // 8))
     seen = set()
@@ -297,18 +403,18 @@ def warm_sample_cache(tables, batch_size, max_parts, n_points, mesh=None,
         seen.add(k)
         out = sample_and_expand(
             tables.table, tables.n_faces,
-            put(jnp.zeros((k, ), jnp.int32)),
-            put(jnp.ones((batch_size, ), jnp.int32)),
-            put(jnp.zeros((), jnp.int32)),
+            rep(jnp.zeros((k, ), jnp.int32)),
+            rep(jnp.ones((batch_size, ), jnp.int32)),
+            rep(jnp.zeros((), jnp.int32)),
             n_points=n_points, max_parts=max_parts,
             data_keys=tuple(data_keys), interpret=interpret)
         jax.block_until_ready(out)
         if group_size > 1:
             out2 = sample_and_expand_multi(
                 tables.table, tables.n_faces,
-                put(jnp.zeros((group_size, k), jnp.int32)),
-                put(jnp.ones((group_size, batch_size), jnp.int32)),
-                put(jnp.zeros((group_size, ), jnp.int32)),
+                rep(jnp.zeros((group_size, k), jnp.int32)),
+                rep(jnp.ones((group_size, batch_size), jnp.int32)),
+                rep(jnp.zeros((group_size, ), jnp.int32)),
                 n_points=n_points, max_parts=max_parts,
                 data_keys=tuple(data_keys), interpret=interpret)
             jax.block_until_ready(out2)

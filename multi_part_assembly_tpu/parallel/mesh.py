@@ -33,9 +33,9 @@ def _maybe_augment(batch, key, cfg):
     return batch
 
 __all__ = ['make_mesh', 'batch_sharding', 'replicated', 'shard_batch',
-           'make_train_step', 'make_eval_step', 'make_train_step_stacked',
-           'make_eval_step_stacked', 'make_train_step_multi',
-           'init_distributed']
+           'put_sharded', 'make_train_step', 'make_eval_step',
+           'make_train_step_stacked', 'make_eval_step_stacked',
+           'make_train_step_multi', 'init_distributed']
 
 
 def init_distributed():
@@ -85,6 +85,22 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
+def put_sharded(tree, mesh, spec):
+    """Place host (numpy) arrays on the mesh under `spec`.
+
+    Single-process: one pytree device_put.  Multi-process: each host's
+    arrays are its LOCAL shard of the sharded axes;
+    `jax.make_array_from_process_local_data` assembles the global arrays
+    (a bare device_put would treat every host's local array as the whole
+    global value)."""
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda v: jax.make_array_from_process_local_data(
+                sh, np.asarray(v)), tree)
+    return jax.device_put(tree, sh)
+
+
 def shard_batch(batch, mesh):
     """Place a host batch onto the mesh, sharded along the batch axis.
 
@@ -97,14 +113,9 @@ def shard_batch(batch, mesh):
     so the global batch is assembled with
     `jax.make_array_from_process_local_data` -- a bare device_put would
     treat every host's local array as the whole global value."""
-    sh = batch_sharding(mesh)
     arrays = {k: v for k, v in batch.items()
               if hasattr(v, 'ndim') and v.ndim > 0}
-    if jax.process_count() > 1:
-        moved = {k: jax.make_array_from_process_local_data(sh, np.asarray(v))
-                 for k, v in arrays.items()}
-    else:
-        moved = jax.device_put(arrays, sh)
+    moved = put_sharded(arrays, mesh, P('data'))
     return {**batch, **moved}
 
 

@@ -217,6 +217,30 @@ def build_logger(cfg, log_dir, quiet=False):
     return JSONLLogger(log_dir, quiet=quiet)
 
 
+def _pin_empty_leaves(batch, mesh, batch_axis=0):
+    """Re-pin zero-size leaves (empty instance/part labels) to the batch
+    spec.  XLA canonicalizes empty-array shardings to REPLICATED on the way
+    out of the sharded wire hops, which misses the AOT step executables'
+    P(...'data') contract.  Rather than resharding (a multi-process
+    device_put of a differently-ordered sharding is unsupported), the leaf
+    is rebuilt from host zeros -- free, it has no bytes.  batch_axis: which
+    axis carries 'data' (1 for grouped [G, B, ...] batches)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import put_sharded
+    spec = P(*([None] * batch_axis + ['data']))
+    n_proc = jax.process_count()
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, 'size') and getattr(v, 'ndim', 0) > 0 and v.size == 0:
+            local = list(v.shape)
+            local[batch_axis] //= n_proc
+            out[k] = put_sharded(np.zeros(local, v.dtype), mesh, spec)
+        else:
+            out[k] = v
+    return out
+
+
 def _prep_batch(batch, cfg, mesh, rng, augment=True):
     """Host batch -> device batch: pad to the mesh's data-axis multiple and
     shard.  Geometry batches carry raw points ('part_pcs_raw'); with
@@ -245,24 +269,52 @@ def _prep_batch(batch, cfg, mesh, rng, augment=True):
         # sampling, just the piece slot ids) + per-sample counts; all
         # small keys derive on device (expand is its own small jitted fn,
         # so only IT recompiles across Kpad buckets -- the AOT-compiled
-        # train/eval steps always see the fixed [B, P, N, 3] contract)
-        assert mesh.shape['data'] == 1, \
-            'minimal packed wire requires a single-device data axis'
-        real_bs = int(batch['part_counts'].shape[0])
+        # train/eval steps always see the fixed [B, P, N, 3] contract).
+        # 2D counts = the multi-chip sharded wire: a leading [D] shard
+        # axis, one row group per data-axis device (configure_wire_shards)
+        counts = batch['part_counts']
+        sharded_wire = counts.ndim == 2
+        n_local = int(counts.shape[0]) if sharded_wire else 1
+        n_expect = n_local * jax.process_count() if sharded_wire else 1
+        assert mesh.shape['data'] == n_expect, (
+            f'wire shard axis ({n_local} local shards x '
+            f'{jax.process_count()} processes) does not match the mesh '
+            f"data axis {mesh.shape['data']}; call configure_wire_shards "
+            'after make_mesh')
+        real_bs = int(batch.pop('real_bs',
+                                counts.size if sharded_wire
+                                else counts.shape[0]))
         tables = batch.get('__tables__')
         device = {k: v for k, v in batch.items()
                   if k not in _DROP_KEYS and k != '__tables__'}
         device = shard_batch(device, mesh)
         if tables is not None:  # slot wire: the device samples the meshes
-            from ..datasets.device_sampler import sample_and_expand
-            batch = sample_and_expand(
-                tables.table, tables.n_faces,
-                device['part_slots__packed'], device['part_counts'],
-                jnp.asarray(batch['sample_seed'], jnp.int32),
-                n_points=int(cfg.data.num_pc_points),
+            from ..datasets.device_sampler import (sample_and_expand,
+                                                   sample_and_expand_sharded)
+            if sharded_wire:
+                batch = sample_and_expand_sharded(
+                    tables.table, tables.n_faces,
+                    device['part_slots__packed'], device['part_counts'],
+                    device['sample_seed'], mesh,
+                    n_points=int(cfg.data.num_pc_points),
+                    max_parts=int(cfg.data.max_num_part),
+                    data_keys=tuple(cfg.data.data_keys),
+                    interpret=tables.interpret)
+            else:
+                batch = sample_and_expand(
+                    tables.table, tables.n_faces,
+                    device['part_slots__packed'], device['part_counts'],
+                    jnp.asarray(batch['sample_seed'], jnp.int32),
+                    n_points=int(cfg.data.num_pc_points),
+                    max_parts=int(cfg.data.max_num_part),
+                    data_keys=tuple(cfg.data.data_keys),
+                    interpret=tables.interpret)
+        elif sharded_wire:
+            from ..datasets.geometry import expand_geometry_batch_sharded
+            batch = expand_geometry_batch_sharded(
+                device['part_pcs_raw__packed'], device['part_counts'],
                 max_parts=int(cfg.data.max_num_part),
-                data_keys=tuple(cfg.data.data_keys),
-                interpret=tables.interpret)
+                data_keys=tuple(cfg.data.data_keys))
         else:
             batch = expand_geometry_batch(
                 device['part_pcs_raw__packed'], device['part_counts'],
@@ -290,6 +342,8 @@ def _prep_batch(batch, cfg, mesh, rng, augment=True):
                 batch[k[:-len('__packed')]] = unpack_parts(
                     batch[k], idx, batch['part_valids'])
                 del batch[k]
+    if 'part_valids' in batch and hasattr(batch['part_valids'], 'sharding'):
+        batch = _pin_empty_leaves(batch, mesh)
     if augment and 'part_pcs_raw' in batch:
         aug = augment_geometry_batch(
             batch['part_pcs_raw'], batch['part_valids'], rng,
@@ -322,8 +376,14 @@ def install_device_prep(loader, cfg, mesh, group_size=1):
     if group_size <= 1:
         return
 
-    from ..datasets.geometry import expand_geometry_batch_multi
-    from ..parallel.mesh import batch_sharding
+    from jax.sharding import PartitionSpec as P
+
+    from ..datasets.geometry import (expand_geometry_batch_group_sharded,
+                                     expand_geometry_batch_multi)
+    from ..parallel.mesh import batch_sharding, put_sharded
+
+    def _pin_empty(out):
+        return _pin_empty_leaves(out, mesh, batch_axis=1)
 
     def group_prep(host_batches):
         if 'part_counts' not in host_batches[0]:
@@ -331,46 +391,65 @@ def install_device_prep(loader, cfg, mesh, group_size=1):
                              'wire (part_counts)')
         G = len(host_batches)
         counts = np.stack([b['part_counts'] for b in host_batches])
+        # sharded wire: per-batch arrays carry a leading [D] shard axis;
+        # grouped stacks are [G, D, ...] sharded P(None, 'data')
+        sharded_wire = counts.ndim == 3
+        gspec = P(None, 'data') if sharded_wire else P('data')
         if 'part_slots__packed' in host_batches[0]:
-            # device-sampling slot wire: ship [G, Kpad] piece ids + [G]
+            # device-sampling slot wire: ship [G, (D,) Kpad] piece ids +
             # seeds (a few KB); the TPU samples + expands in ONE dispatch
-            from ..datasets.device_sampler import sample_and_expand_multi
+            from ..datasets.device_sampler import (
+                sample_and_expand_multi, sample_and_expand_multi_sharded)
             tables = host_batches[0]['__tables__']
-            kmax = max(b['part_slots__packed'].shape[0]
+            kmax = max(b['part_slots__packed'].shape[-1]
                        for b in host_batches)
-            slots = np.zeros((G, kmax), np.int32)
+            slots = np.zeros(counts.shape[:-1] + (kmax, ), np.int32)
             for g, b in enumerate(host_batches):
                 rows = b['part_slots__packed']
-                slots[g, :rows.shape[0]] = rows
+                slots[g, ..., :rows.shape[-1]] = rows
             seeds = np.asarray([b['sample_seed'] for b in host_batches],
                                np.int32)
-            dev = jax.device_put(
+            dev = put_sharded(
                 {'slots': slots, 'counts': counts, 'seeds': seeds},
-                batch_sharding(mesh))
-            out = sample_and_expand_multi(
-                tables.table, tables.n_faces, dev['slots'], dev['counts'],
-                dev['seeds'], n_points=int(cfg.data.num_pc_points),
-                max_parts=int(cfg.data.max_num_part),
-                data_keys=tuple(cfg.data.data_keys),
-                interpret=tables.interpret)
+                mesh, gspec)
+            kwargs = dict(n_points=int(cfg.data.num_pc_points),
+                          max_parts=int(cfg.data.max_num_part),
+                          data_keys=tuple(cfg.data.data_keys),
+                          interpret=tables.interpret)
+            if sharded_wire:
+                out = sample_and_expand_multi_sharded(
+                    tables.table, tables.n_faces, dev['slots'],
+                    dev['counts'], dev['seeds'], mesh, **kwargs)
+            else:
+                out = sample_and_expand_multi(
+                    tables.table, tables.n_faces, dev['slots'],
+                    dev['counts'], dev['seeds'], **kwargs)
+            out = _pin_empty(out)
             out['__group__'] = G
-            out['__real_bs__'] = int(counts.shape[1])
+            out['__real_bs__'] = int(counts[0].size)
             return out
-        kmax = max(b['part_pcs_raw__packed'].shape[0] for b in host_batches)
-        n, c = host_batches[0]['part_pcs_raw__packed'].shape[1:]
-        packed = np.zeros((G, kmax, n, c),
+        kmax = max(b['part_pcs_raw__packed'].shape[-3]
+                   for b in host_batches)
+        n, c = host_batches[0]['part_pcs_raw__packed'].shape[-2:]
+        packed = np.zeros(counts.shape[:-1] + (kmax, n, c),
                           host_batches[0]['part_pcs_raw__packed'].dtype)
         for g, b in enumerate(host_batches):
             rows = b['part_pcs_raw__packed']
-            packed[g, :rows.shape[0]] = rows
-        dev = jax.device_put({'packed': packed, 'counts': counts},
-                             batch_sharding(mesh))
-        out = expand_geometry_batch_multi(
-            dev['packed'], dev['counts'],
-            max_parts=int(cfg.data.max_num_part),
-            data_keys=tuple(cfg.data.data_keys))
+            packed[g, ..., :rows.shape[-3], :, :] = rows
+        dev = put_sharded({'packed': packed, 'counts': counts}, mesh, gspec)
+        if sharded_wire:
+            out = expand_geometry_batch_group_sharded(
+                dev['packed'], dev['counts'],
+                max_parts=int(cfg.data.max_num_part),
+                data_keys=tuple(cfg.data.data_keys))
+        else:
+            out = expand_geometry_batch_multi(
+                dev['packed'], dev['counts'],
+                max_parts=int(cfg.data.max_num_part),
+                data_keys=tuple(cfg.data.data_keys))
+        out = _pin_empty(out)
         out['__group__'] = G
-        out['__real_bs__'] = int(counts.shape[1])
+        out['__real_bs__'] = int(counts[0].size)
         return out
 
     loader.group_size = group_size
@@ -399,8 +478,15 @@ class Trainer:
                         and jax.default_backend() != 'cpu') else 1
         self.steps_per_call = spc
         if getattr(self.train_loader, 'batch_collate', False):
-            from ..datasets.geometry import (enable_device_sampling,
+            from ..datasets.geometry import (configure_wire_shards,
+                                             enable_device_sampling,
                                              warm_unpack_cache)
+            # multi-chip wire: one row group per data-axis device (the
+            # fast wire no longer falls back on data-parallel meshes)
+            configure_wire_shards(self.train_loader, self.mesh)
+            configure_wire_shards(self.val_loader, self.mesh)
+            n_data = self.mesh.shape['data']
+            n_proc = jax.process_count()
             # device-side mesh sampling (datasets/device_sampler.py): the
             # wire carries piece ids instead of point clouds.  'auto' = on
             # whenever the run is on real accelerators (on the CPU backend
@@ -418,21 +504,25 @@ class Trainer:
                                (self.val_loader, cfg.exp.batch_size * 2)):
                 spc = self.steps_per_call \
                     if loader is self.train_loader else 1
+                bs_global = bs * n_proc  # warms take the global batch
                 tables = getattr(loader.dataset, '_device_tables', None)
                 if tables is not None:
                     warm_sample_cache(
-                        tables, bs, cfg.data.max_num_part,
+                        tables, bs_global, cfg.data.max_num_part,
                         cfg.data.num_pc_points, mesh=self.mesh,
                         data_keys=tuple(cfg.data.data_keys),
-                        group_size=spc, interpret=tables.interpret)
+                        group_size=spc, interpret=tables.interpret,
+                        shards=n_data, fixed_kpad=n_proc > 1)
                 else:
                     warm_unpack_cache(
-                        bs, cfg.data.max_num_part, cfg.data.num_pc_points,
+                        bs_global, cfg.data.max_num_part,
+                        cfg.data.num_pc_points,
                         mesh=self.mesh, data_keys=tuple(cfg.data.data_keys),
                         wire_dtype=jnp.dtype(
                             cfg.data.get('wire_dtype', 'float16')),
                         expand=cfg.data.dataset == 'geometry',
-                        group_size=spc)
+                        group_size=spc, shards=n_data,
+                        fixed_kpad=n_proc > 1)
             # producer-thread device placement (H2D overlaps device compute)
             install_device_prep(self.train_loader, cfg, self.mesh)
             install_device_prep(self.val_loader, cfg, self.mesh)
@@ -664,9 +754,19 @@ class Trainer:
                 mats.extend(np.asarray(jnp.stack(run)))
                 run = [m]
         mats.extend(np.asarray(jnp.stack(run)))
+        n_proc = jax.process_count()
         for (m, bs), mat in zip(done, mats):
+            # each host sums ITS OWN rows of the (replicated) global
+            # per-element matrix: the global batch concatenates the hosts'
+            # local shards in process order, so host p owns the p-th
+            # contiguous block (bs counts the real rows of that block;
+            # padding replicas sit at the block's end).  The cross-host
+            # allgather below then adds disjoint shards -- summing
+            # row[:bs] on every host would count host 0's shard n times
+            # and drop the rest.
+            off = (mat.shape[1] // n_proc) * jax.process_index()
             for k, row in zip(self._eval_log_keys, mat):
-                sums[k] = sums.get(k, 0.0) + float(row[:bs].sum())
+                sums[k] = sums.get(k, 0.0) + float(row[off:off + bs].sum())
             weights += bs
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils

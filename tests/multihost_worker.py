@@ -77,8 +77,16 @@ def main():
     assert trainer.train_loader._num_shards == args.num_processes, \
         trainer.train_loader._num_shards
     assert len(trainer.train_loader) == 1, len(trainer.train_loader)
-    # multi-host must NOT use the single-device packed wire
-    assert not trainer.train_loader.batch_collate
+    # multi-host rides the SHARDED fast wire since round 4: packed rows
+    # carry a per-device shard axis, Kpad pinned to the dense bound so
+    # every host picks the same bucket without seeing peers' data
+    assert trainer.train_loader.batch_collate
+    ds = trainer.train_loader.dataset
+    assert ds.wire_shards == 2, ds.wire_shards  # 4-device axis / 2 hosts
+    assert ds.fixed_kpad
+    raw = ds.collate_batch([0, 1, 2, 3])
+    assert raw['part_counts'].shape == (2, 2)       # [D_local, Bs]
+    assert raw['part_pcs_raw__packed'].shape[0] == 2
 
     trainer.fit()  # 1 epoch: train steps + validate + Orbax checkpoint
     metrics = trainer.validate(0)  # all-reduced across hosts
