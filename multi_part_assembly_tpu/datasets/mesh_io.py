@@ -14,7 +14,7 @@ import threading
 import numpy as np
 
 __all__ = ['MeshSampler', 'load_obj_numpy', 'sample_surface_numpy',
-           'native_available']
+           'native_available', 'mesh_cache_path']
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), 'native')
@@ -66,6 +66,12 @@ def _get_lib():
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int]
+        try:  # persistent parsed-mesh cache (round-4 .so builds onward)
+            lib.mpa_load_mesh_cached.restype = ctypes.c_int64
+            lib.mpa_load_mesh_cached.argtypes = [ctypes.c_char_p,
+                                                 ctypes.c_char_p]
+        except AttributeError:
+            pass
         try:  # device-sampler table export (round-3 .so builds onward)
             lib.mpa_export_tables.restype = ctypes.c_int64
             lib.mpa_export_tables.argtypes = [
@@ -178,8 +184,37 @@ def sample_surface_numpy(verts, faces, n_points, rng):
     return pts.astype(np.float32)
 
 
+def mesh_cache_path(path):
+    """Location of a mesh's persistent parsed-mesh cache entry.
+
+    Entries live in a CENTRAL cache directory (`MPA_MESH_CACHE_DIR`,
+    default `~/.cache/mpa_mesh`), keyed by the absolute source path's
+    hash -- never next to the data: the datasets (like the reference,
+    geometry_data.py:56) enumerate fracture dirs with os.listdir, so a
+    sidecar in the data tree would be miscounted as a mesh piece.
+    Staleness is handled inside the C++ loader ((size, mtime_ns) key).
+    `MPA_MESH_CACHE=0` disables the cache entirely."""
+    if os.environ.get('MPA_MESH_CACHE', '1') == '0':
+        return None
+    cache_dir = os.environ.get('MPA_MESH_CACHE_DIR') or \
+        os.path.join(os.path.expanduser('~'), '.cache', 'mpa_mesh')
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+    except OSError:
+        return None
+    import hashlib
+    h = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()
+    return os.path.join(cache_dir, h + '.mpac')
+
+
 class MeshSampler:
-    """Cached mesh surface sampler (native if available, numpy otherwise)."""
+    """Cached mesh surface sampler (native if available, numpy otherwise).
+
+    Two cache levels on the native path: the in-RAM handle registry
+    (valid for this process; evicted by close()) and the on-disk parsed
+    -mesh sidecars (persist across processes/epochs; see mesh_cache_path),
+    which turn a cold load into one sequential binary read instead of an
+    OBJ text parse + alias-table build."""
 
     def __init__(self, n_threads=None):
         self._lib = _get_lib()
@@ -195,7 +230,13 @@ class MeshSampler:
         """Cache a mesh; returns an opaque key (the path)."""
         if self._lib is not None:
             if path not in self._handles:
-                h = self._lib.mpa_load_mesh(path.encode())
+                cpath = mesh_cache_path(path) \
+                    if hasattr(self._lib, 'mpa_load_mesh_cached') else None
+                if cpath is not None:
+                    h = self._lib.mpa_load_mesh_cached(
+                        path.encode(), cpath.encode())
+                else:
+                    h = self._lib.mpa_load_mesh(path.encode())
                 if h == 0:
                     raise IOError(f'failed to load mesh {path}')
                 self._handles[path] = h
@@ -231,8 +272,12 @@ class MeshSampler:
         n = len(paths)
         if out is None:
             out = np.empty((n, n_points, 3), np.float32)
-        assert out.flags['C_CONTIGUOUS'] and out.shape == (n, n_points, 3) \
-            and out.dtype in (np.float32, np.float16)
+        if not (out.flags['C_CONTIGUOUS'] and out.shape == (n, n_points, 3)
+                and out.dtype in (np.float32, np.float16)):
+            raise ValueError(
+                f'sample_batch out mismatch: shape={out.shape} vs '
+                f'({n}, {n_points}, 3), dtype={out.dtype}, '
+                f"contiguous={out.flags['C_CONTIGUOUS']}")
         f16 = out.dtype == np.float16
         if self._lib is not None:
             handles = np.asarray([self._handles[self.load(p)] for p in paths],

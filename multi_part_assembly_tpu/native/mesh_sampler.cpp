@@ -15,6 +15,8 @@
 // C ABI only; bound from Python via ctypes (multi_part_assembly_tpu/
 // datasets/mesh_io.py).  Build: make -C multi_part_assembly_tpu/native
 
+#include <sys/stat.h>
+
 #include <atomic>
 #include <cmath>
 #include <cstdint>
@@ -256,6 +258,109 @@ Mesh *get_mesh(int64_t handle) {
   return it == g_registry.end() ? nullptr : it->second;
 }
 
+// --- persistent parsed-mesh cache -------------------------------------
+// Binary sidecar holding the POST-BUILD representation (contiguous
+// (a, b-a, c-a) triangle blocks + Walker alias table), so a cold process
+// (or an evicted registry) skips BOTH the OBJ text parse and the
+// area/alias construction: one sequential binary read instead
+// (reference geometry_data.py:109-131 re-pays trimesh parsing every
+// epoch).  Validated against the source's (size, mtime_ns); written
+// best-effort via atomic rename (read-only datasets just never cache).
+//
+// Note: verts/faces are stored as COUNTS only (their data is dead after
+// build_areas -- sampling reads `tri`, stats read sizes); a cache-loaded
+// mesh has zero-filled verts/faces of the right length.
+
+constexpr uint32_t kCacheMagic = 0x4350414du;  // "MPAC" little-endian
+constexpr uint32_t kCacheVersion = 1;
+
+struct CacheHeader {
+  uint32_t magic, version;
+  uint64_t src_size, src_mtime_ns;
+  int64_t n_verts, n_faces;
+  double total_area;
+};
+
+bool src_stat(const char *path, uint64_t *size, uint64_t *mtime_ns) {
+  struct stat st;
+  if (stat(path, &st) != 0) return false;
+  *size = static_cast<uint64_t>(st.st_size);
+#if defined(__APPLE__)
+  *mtime_ns = static_cast<uint64_t>(st.st_mtimespec.tv_sec) * 1000000000ull +
+              static_cast<uint64_t>(st.st_mtimespec.tv_nsec);
+#else
+  *mtime_ns = static_cast<uint64_t>(st.st_mtim.tv_sec) * 1000000000ull +
+              static_cast<uint64_t>(st.st_mtim.tv_nsec);
+#endif
+  return true;
+}
+
+bool load_mesh_cache(const char *cpath, uint64_t src_size,
+                     uint64_t src_mtime_ns, Mesh *m) {
+  std::ifstream in(cpath, std::ios::binary);
+  if (!in.is_open()) return false;
+  CacheHeader h;
+  if (!in.read(reinterpret_cast<char *>(&h), sizeof h)) return false;
+  if (h.magic != kCacheMagic || h.version != kCacheVersion) return false;
+  if (h.src_size != src_size || h.src_mtime_ns != src_mtime_ns)
+    return false;  // stale: source changed
+  if (h.n_faces <= 0 || h.n_verts <= 0 || !(h.total_area > 0.0))
+    return false;
+  size_t nf = static_cast<size_t>(h.n_faces);
+  m->verts.assign(3 * static_cast<size_t>(h.n_verts), 0.0f);
+  m->faces.assign(3 * nf, 0);
+  m->tri.resize(9 * nf);
+  m->alias_prob.resize(nf);
+  m->alias_index.resize(nf);
+  m->cum_area.assign(nf, 0.0);  // only its SIZE is read post-build
+  m->total_area = h.total_area;
+  if (!in.read(reinterpret_cast<char *>(m->tri.data()),
+               9 * nf * sizeof(float)))
+    return false;
+  if (!in.read(reinterpret_cast<char *>(m->alias_prob.data()),
+               nf * sizeof(double)))
+    return false;
+  if (!in.read(reinterpret_cast<char *>(m->alias_index.data()),
+               nf * sizeof(int32_t)))
+    return false;
+  return true;
+}
+
+void write_mesh_cache(const char *cpath, uint64_t src_size,
+                      uint64_t src_mtime_ns, const Mesh &m) {
+  // unique tmp per writer: concurrent loader threads may cache the same
+  // mesh; the atomic rename makes last-writer-wins safe
+  static std::atomic<uint64_t> tmp_ctr{0};
+  std::string tmp = std::string(cpath) + ".tmp" +
+                    std::to_string(tmp_ctr.fetch_add(1));
+  {
+    std::ofstream out(tmp, std::ios::binary | std::ios::trunc);
+    if (!out.is_open()) return;  // read-only location: silently skip
+    CacheHeader h;
+    h.magic = kCacheMagic;
+    h.version = kCacheVersion;
+    h.src_size = src_size;
+    h.src_mtime_ns = src_mtime_ns;
+    h.n_verts = static_cast<int64_t>(m.verts.size() / 3);
+    h.n_faces = static_cast<int64_t>(m.faces.size() / 3);
+    h.total_area = m.total_area;
+    size_t nf = static_cast<size_t>(h.n_faces);
+    out.write(reinterpret_cast<const char *>(&h), sizeof h);
+    out.write(reinterpret_cast<const char *>(m.tri.data()),
+              9 * nf * sizeof(float));
+    out.write(reinterpret_cast<const char *>(m.alias_prob.data()),
+              nf * sizeof(double));
+    out.write(reinterpret_cast<const char *>(m.alias_index.data()),
+              nf * sizeof(int32_t));
+    if (!out.good()) {
+      out.close();
+      std::remove(tmp.c_str());
+      return;
+    }
+  }
+  if (std::rename(tmp.c_str(), cpath) != 0) std::remove(tmp.c_str());
+}
+
 }  // namespace
 
 extern "C" {
@@ -272,6 +377,40 @@ int64_t mpa_load_mesh(const char *path) {
     delete mesh;
     return 0;
   }
+  int64_t h = g_next_handle.fetch_add(1);
+  std::lock_guard<std::mutex> lk(g_registry_mu);
+  g_registry[h] = mesh;
+  return h;
+}
+
+// Like mpa_load_mesh, but backed by a persistent sidecar at `cache_path`:
+// a valid cache skips parse + table build; a miss/stale cache parses and
+// (best-effort) writes the sidecar for the next cold load.  Returns
+// handle > 0, or 0 on failure.
+int64_t mpa_load_mesh_cached(const char *path, const char *cache_path) {
+  uint64_t src_size = 0, src_mtime_ns = 0;
+  bool have_stat = src_stat(path, &src_size, &src_mtime_ns);
+  bool use_cache = have_stat && cache_path && cache_path[0];
+  Mesh *mesh = new Mesh();
+  if (use_cache &&
+      load_mesh_cache(cache_path, src_size, src_mtime_ns, mesh)) {
+    int64_t h = g_next_handle.fetch_add(1);
+    std::lock_guard<std::mutex> lk(g_registry_mu);
+    g_registry[h] = mesh;
+    return h;
+  }
+  delete mesh;  // may be partially filled by a truncated cache read
+  mesh = new Mesh();
+  if (!parse_obj(path, mesh)) {
+    delete mesh;
+    return 0;
+  }
+  build_areas(mesh);
+  if (mesh->total_area <= 0.0) {
+    delete mesh;
+    return 0;
+  }
+  if (use_cache) write_mesh_cache(cache_path, src_size, src_mtime_ns, *mesh);
   int64_t h = g_next_handle.fetch_add(1);
   std::lock_guard<std::mutex> lk(g_registry_mu);
   g_registry[h] = mesh;

@@ -401,3 +401,53 @@ def test_partnet_packed_collate(partnet_tree):
     np.testing.assert_array_equal(
         b16['part_pcs__packed'],
         batch['part_pcs__packed'].astype(np.float16))
+
+
+def test_persistent_mesh_cache_roundtrip(tmp_path):
+    """On-disk parsed-mesh sidecars: a cold reload (fresh sampler, RAM
+    registry empty) serves the IDENTICAL sample stream and device tables
+    from one binary read, and a changed source invalidates the sidecar
+    (keyed on size + mtime_ns)."""
+    import time
+
+    from multi_part_assembly_tpu.datasets.mesh_io import mesh_cache_path
+    p = str(tmp_path / 'cube.obj')
+    _write_cube(p)
+    s = MeshSampler()
+    assert s.is_native
+    s.load(p)
+    a = s.sample(p, 100, 7)
+    tri, prob, alias, nf = s.export_tables(p, 128)
+    cpath = mesh_cache_path(p)
+    assert os.path.exists(cpath), 'cache sidecar not written'
+    s.close()
+
+    s2 = MeshSampler()  # cold: RAM registry empty -> sidecar hit
+    s2.load(p)
+    np.testing.assert_array_equal(s2.sample(p, 100, 7), a)
+    tri2, prob2, alias2, nf2 = s2.export_tables(p, 128)
+    np.testing.assert_array_equal(tri, tri2)
+    np.testing.assert_array_equal(prob, prob2)
+    np.testing.assert_array_equal(alias, alias2)
+    assert nf == nf2 == 12 and s2.n_faces(p) == 12
+    s2.close()
+
+    time.sleep(0.01)
+    _write_cube(p, scale=2.0)  # stale source -> must re-parse
+    s3 = MeshSampler()
+    s3.load(p)
+    c = s3.sample(p, 100, 7)
+    np.testing.assert_allclose(c, a * 2.0, atol=1e-5)
+    s3.close()
+
+
+def test_mesh_cache_disable_env(tmp_path, monkeypatch):
+    from multi_part_assembly_tpu.datasets.mesh_io import mesh_cache_path
+    monkeypatch.setenv('MPA_MESH_CACHE', '0')
+    p = str(tmp_path / 'cube.obj')
+    _write_cube(p)
+    assert mesh_cache_path(p) is None
+    s = MeshSampler()
+    s.load(p)
+    assert not os.path.exists(p + '.mpac')
+    s.close()
