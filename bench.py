@@ -57,6 +57,23 @@ BENCH_MODELS = {
         'cfg': 'configs/lstm/lstm-32x1-cosine_200e-everyday.py',
         'kind': 'geometry',
     },
+    'global_everyday': {
+        'cfg': 'configs/global/global-32x1-cosine_200e-everyday.py',
+        'kind': 'geometry',
+    },
+    'rgl_net_everyday': {
+        'cfg': 'configs/rgl_net/rgl_net-32x1-cosine_200e-everyday.py',
+        'kind': 'geometry',
+    },
+    'pn_transformer_refine_everyday': {
+        'cfg': 'configs/pn_transformer/pn_transformer_refine/'
+               'pn_transformer_refine-32x1-cosine_400e-everyday.py',
+        'kind': 'geometry',
+    },
+    'identity_everyday': {  # free floor: loss+pipeline with a no-op model
+        'cfg': 'configs/identity/identity-32x1-cosine_200e-everyday.py',
+        'kind': 'geometry',
+    },
     # cold-cache row (VERDICT r2 weak-2): the C++ mesh registry is evicted
     # every epoch, so each epoch re-pays OBJ parse + file IO like a
     # real-scale dataset (~34k fractures) whose meshes outrun RAM

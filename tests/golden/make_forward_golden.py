@@ -425,6 +425,172 @@ def main():
         out['rf_rot'] = rrot.numpy()
         out['rf_trans'] = rtrans.numpy()
 
+    # --- composed DGCNN forward (encoder/dgcnn.py:41-109, eval, k=20):
+    # 4 EdgeConv stages (kNN graph + 1x1 conv + BN + LeakyReLU 0.2 + max
+    # over k) + fuse conv5 + max||avg global pool + out_fc.  The kNN
+    # SET is what matters (max over k is permutation-invariant), so the
+    # fixture is robust to topk ordering ties. ---
+    from multi_part_assembly.models.modules.encoder.dgcnn import DGCNN
+    dg = DGCNN(feat_dim=C, global_feat=True).eval()
+    randomize(dg, 900)
+    quantize_f16(dg)
+    dump_state_f16('dgc', dg, out)
+    with torch.no_grad():
+        dg_feats = dg(t_pcs[valid_mask])  # [n, C]
+    out['dgc_feats'] = dg_feats.numpy()
+
+    # --- composed PointNet2 SSG / MSG forwards (pointnet2_ssg.py:19-66,
+    # pointnet2_msg.py:15-43).  The CUDA pointnet2_ops ext cannot run here;
+    # its FPS / ball-query / grouping math is reimplemented below in numpy
+    # with the EXACT semantics of the kernels (sampling_gpu.cu:73-233
+    # iterative max-of-min from index 0 with the mag<=1e-3 padding skip,
+    # ball_query_gpu.cu:13-48 first-k-in-radius with first-hit backfill)
+    # and cross-checked INDEX-FOR-INDEX against ops/sampling.py on the jax
+    # CPU backend before recording -- so the fixture pins both the
+    # sampling-op semantics and the shared-MLP weight mapping. ---
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))  # repo root (for the jax cross-check)
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    import jax.numpy as jnp
+    from multi_part_assembly_tpu.ops.sampling import (
+        ball_query as jax_ball_query,
+        furthest_point_sample as jax_fps)
+
+    def np_fps(xyz, npoint):
+        """sampling_gpu.cu:73-233: slot 0 = index 0, then argmax of the
+        running min squared distance (first-hit ties); near-origin points
+        (|p|^2 <= 1e-3) are padding and never selected (cu:104)."""
+        Bn, Nn, _ = xyz.shape
+        idxs = np.zeros((Bn, npoint), np.int32)
+        min_d = np.full((Bn, Nn), 1e10, np.float32)
+        selectable = (xyz ** 2).sum(-1) > 1e-3
+        last = np.zeros(Bn, np.int32)
+        for i in range(1, npoint):
+            d = ((xyz - xyz[np.arange(Bn), last][:, None]) ** 2).sum(-1)
+            min_d = np.minimum(min_d, d.astype(np.float32))
+            cand = np.where(selectable, min_d, -1.0)
+            last = cand.argmax(-1).astype(np.int32)
+            idxs[:, i] = last
+        return idxs
+
+    def np_ball_query(radius, nsample, xyz, new_xyz):
+        """ball_query_gpu.cu:13-48: first nsample in-radius indices in
+        ascending scan order, rows backfilled with the first hit; an empty
+        ball yields row 0 (matches ops/sampling.py:79-92)."""
+        x2 = (xyz ** 2).sum(-1, dtype=np.float32)
+        c2 = (new_xyz ** 2).sum(-1, dtype=np.float32)
+        xy = np.einsum('bmc,bnc->bmn', new_xyz.astype(np.float32),
+                       xyz.astype(np.float32))
+        d2 = np.maximum(c2[..., :, None] + x2[..., None, :] - 2 * xy, 0.0)
+        Bn, Mn, Nn = d2.shape
+        # boundary-margin guard: any pair within 3e-7 of r^2 could flip
+        # membership between backends; the caller retries another seed
+        margin = np.abs(d2 - radius * radius).min()
+        assert margin > 3e-7, f'ball boundary margin {margin}'
+        idx = np.zeros((Bn, Mn, nsample), np.int32)
+        for b in range(Bn):
+            for m in range(Mn):
+                hits = np.nonzero(d2[b, m] < radius * radius)[0][:nsample]
+                if len(hits) == 0:
+                    continue
+                row = np.full(nsample, hits[0], np.int32)
+                row[:len(hits)] = hits
+                idx[b, m] = row
+        return idx
+
+    def build_shared_mlp_eval(in_dim, dims):
+        """build_shared_mlp (pointnet2_modules.py:9-19): Conv2d(k=1,
+        bias=False) + BN + ReLU per layer; channels-last here so Conv2d
+        1x1 becomes Linear(bias=False) -- same math, simpler dump."""
+        layers = []
+        d0 = in_dim
+        for d in dims:
+            layers += [torch.nn.Linear(d0, d, bias=False),
+                       torch.nn.BatchNorm1d(d), torch.nn.ReLU()]
+            d0 = d
+        return torch.nn.Sequential(*layers).eval()
+
+    def run_shared_mlp(mlp, x):
+        """x: [B, M, S, C] channels-last; BN1d wants [*, C]."""
+        shp = x.shape
+        h = x.reshape(-1, shp[-1])
+        h = mlp(h)
+        return h.reshape(*shp[:-1], -1)
+
+    def torch_sa(xyz, feats, spec, mods):
+        """PointnetSAModule forward (pointnet2_modules.py:22-74) on the
+        numpy sampling indices, with pre-built MLP modules `mods`."""
+        if spec.get('group_all'):
+            grouped = xyz[:, None]  # [B, 1, N, 3]
+            if feats is not None:
+                grouped = torch.cat([grouped, feats[:, None]], dim=-1)
+            return None, run_shared_mlp(mods[0], grouped).max(dim=2)[0]
+        npoint = spec['npoint']
+        fps_idx = np_fps(xyz.numpy(), npoint)
+        j_idx = np.asarray(jax_fps(jnp.asarray(xyz.numpy()), npoint))
+        assert (fps_idx == j_idx).all(), 'FPS index mismatch vs ops/sampling'
+        new_xyz = torch.stack([xyz[b, fps_idx[b]] for b in range(len(xyz))])
+        outs = []
+        for (r, s, dims), mlp in zip(
+                zip(spec['radii'], spec['nsamples'], spec['mlps']), mods):
+            bq = np_ball_query(r, s, xyz.numpy(), new_xyz.numpy())
+            j_bq = np.asarray(jax_ball_query(
+                r, s, jnp.asarray(xyz.numpy()), jnp.asarray(new_xyz.numpy())))
+            assert (bq == j_bq).all(), 'ball-query mismatch vs ops/sampling'
+            g_xyz = torch.stack([xyz[b][bq[b]] for b in range(len(xyz))])
+            g_xyz = g_xyz - new_xyz[:, :, None]
+            if feats is not None:
+                g_f = torch.stack([feats[b][bq[b]] for b in range(len(xyz))])
+                grouped = torch.cat([g_xyz, g_f], dim=-1)
+            else:
+                grouped = g_xyz  # use_xyz=True
+            outs.append(run_shared_mlp(mlp, grouped).max(dim=2)[0])
+        return new_xyz, torch.cat(outs, dim=-1)
+
+    rng3 = np.random.RandomState(17)
+    NP2 = 1000
+    # centers away from the origin so the FPS mag<=1e-3 padding skip never
+    # sits on its threshold (that skip is covered by tests/test_ops.py)
+    p2_pcs = (rng3.randn(2, NP2, 3) * 0.3 +
+              rng3.uniform(0.5, 1.0, (2, 1, 3))).astype(np.float32)
+    out['p2_pcs'] = p2_pcs
+    t_p2 = torch.as_tensor(p2_pcs)
+
+    SSG_SPEC = [  # pointnet2_ssg.py:20-42 (use_xyz adds +3 to each in_dim)
+        dict(npoint=512, radii=(0.2,), nsamples=(64,), mlps=((64, 64, 128),),
+             in_dims=(3,)),
+        dict(npoint=128, radii=(0.4,), nsamples=(64,),
+             mlps=((128, 128, 256),), in_dims=(131,)),
+        dict(mlps=((256, 512, C),), in_dims=(259,), group_all=True),
+    ]
+    MSG_SPEC = [  # pointnet2_msg.py:15-43
+        dict(npoint=512, radii=(0.1, 0.2, 0.4), nsamples=(16, 32, 128),
+             mlps=((32, 32, 64), (64, 64, 128), (64, 96, 128)),
+             in_dims=(3, 3, 3)),
+        dict(npoint=128, radii=(0.2, 0.4, 0.8), nsamples=(32, 64, 128),
+             mlps=((64, 64, 128), (128, 128, 256), (128, 128, 256)),
+             in_dims=(323, 323, 323)),
+        dict(mlps=((256, 512, C),), in_dims=(643,), group_all=True),
+    ]
+    for tag, spec in (('p2s', SSG_SPEC), ('p2m', MSG_SPEC)):
+        all_mods = []
+        for si, sa in enumerate(spec):
+            mods = []
+            for mi, (ind, dims) in enumerate(zip(sa['in_dims'], sa['mlps'])):
+                m = build_shared_mlp_eval(ind, dims)
+                randomize(m, (2000 if tag == 'p2s' else 3000)
+                          + si * 10 + mi)
+                quantize_f16(m)
+                dump_state_f16(f'{tag}_sa{si}_m{mi}', m, out)
+                mods.append(m)
+            all_mods.append(mods)
+        with torch.no_grad():
+            xyz, feats = t_p2, None
+            for sa, mods in zip(spec, all_mods):
+                xyz, feats = torch_sa(xyz, feats, sa, mods)
+        out[f'{tag}_feats'] = feats[:, 0].numpy()
+
     # --- TRAIN-mode BN goldens: batch statistics + running-stat updates.
     # The reference normalizes with the biased batch variance but tracks
     # the UNBIASED one in running_var (torch _BatchNorm), momentum 0.1.

@@ -410,6 +410,93 @@ def test_pn_transformer_refine_forward_parity(g):
     _check_valid(out['trans'], g['rf_trans'], g['valids'], 3e-4)
 
 
+def test_dgcnn_forward_parity(g):
+    """Composed DGCNN eval forward (reference encoder/dgcnn.py:41-109):
+    4 EdgeConv stages (kNN graph, 1x1 conv, BN, LeakyReLU 0.2, max over
+    k), fuse conv5, max||avg global pool + out_fc.  Pins the kNN set
+    semantics (max over k is permutation-invariant, so topk ORDER ties
+    cannot mask drift) and the conv/BN weight mapping."""
+    from multi_part_assembly_tpu.models.modules.encoders import DGCNN
+    params, stats = {}, {}
+    for i in range(1, 6):
+        w = g[f'dgc.conv{i}.0.weight']  # conv1-4: [out,in,1,1]; conv5: [out,in,1]
+        params[f'conv{i}'] = {'kernel': jnp.asarray(
+            w.reshape(w.shape[0], w.shape[1]).T)}
+        params[f'bn{i}'] = {'scale': jnp.asarray(g[f'dgc.bn{i}.weight']),
+                            'bias': jnp.asarray(g[f'dgc.bn{i}.bias'])}
+        stats[f'bn{i}'] = {
+            'mean': jnp.asarray(g[f'dgc.bn{i}.running_mean']),
+            'var': jnp.asarray(g[f'dgc.bn{i}.running_var'])}
+    params['out_fc'] = _lin(g, 'dgc.out_fc')
+    enc = DGCNN(feat_dim=C, global_feat=True)
+    mask = g['valids'].reshape(-1) > 0
+    flat = jnp.asarray(g['part_pcs'].reshape(B * P, N, 3)[mask])
+    feats = enc.apply({'params': params, 'batch_stats': stats}, flat,
+                      train=False)
+    np.testing.assert_allclose(np.asarray(feats), g['dgc_feats'],
+                               atol=3e-4, rtol=1e-4)
+
+
+def _map_shared_mlp(g, prefix, n_layers):
+    """torch Sequential(Linear/BN1d/ReLU ...) -> flax _SharedMLP params.
+    Linear at Sequential index 3i, BN at 3i+1 (make_forward_golden
+    build_shared_mlp_eval; the reference's Conv2d(k=1) == this Linear,
+    pointnet2_modules.py:9-19)."""
+    params, stats = {}, {}
+    for i in range(n_layers):
+        params[f'mlp{i}'] = {
+            'kernel': jnp.asarray(g[f'{prefix}.{3 * i}.weight'].T)}
+        params[f'bn{i}'] = {
+            'scale': jnp.asarray(g[f'{prefix}.{3 * i + 1}.weight']),
+            'bias': jnp.asarray(g[f'{prefix}.{3 * i + 1}.bias'])}
+        stats[f'bn{i}'] = {
+            'mean': jnp.asarray(g[f'{prefix}.{3 * i + 1}.running_mean']),
+            'var': jnp.asarray(g[f'{prefix}.{3 * i + 1}.running_var'])}
+    return params, stats
+
+
+def _map_pointnet2(g, tag, n_scales):
+    """Assemble sa1-sa3 params/stats from the fixture's per-scale shared
+    MLPs (n_scales per SA stage; the last stage is always group_all with
+    one MLP)."""
+    params, stats = {}, {}
+    for si in range(3):
+        p_sa, s_sa = {}, {}
+        for mi in range(n_scales if si < 2 else 1):
+            p, s = _map_shared_mlp(g, f'{tag}_sa{si}_m{mi}', 3)
+            p_sa[f'mlp{mi}'] = p
+            s_sa[f'mlp{mi}'] = s
+        params[f'sa{si + 1}'] = p_sa
+        stats[f'sa{si + 1}'] = s_sa
+    return params, stats
+
+
+def test_pointnet2_ssg_forward_parity(g):
+    """Composed PointNet2SSG eval forward (reference pointnet2_ssg.py:19-66
+    + the pointnet2_ops CUDA kernels, whose FPS / ball-query indices the
+    fixture generator reimplemented and cross-checked INDEX-FOR-INDEX
+    against ops/sampling.py -- see make_forward_golden.py)."""
+    from multi_part_assembly_tpu.models.modules.encoders import PointNet2SSG
+    params, stats = _map_pointnet2(g, 'p2s', 1)
+    enc = PointNet2SSG(feat_dim=C)
+    feats = enc.apply({'params': params, 'batch_stats': stats},
+                      jnp.asarray(g['p2_pcs']), train=False)
+    np.testing.assert_allclose(np.asarray(feats), g['p2s_feats'],
+                               atol=3e-4, rtol=1e-4)
+
+
+def test_pointnet2_msg_forward_parity(g):
+    """Composed PointNet2MSG eval forward (reference pointnet2_msg.py:15-43):
+    3 radius scales per SA stage, concatenated scale features."""
+    from multi_part_assembly_tpu.models.modules.encoders import PointNet2MSG
+    params, stats = _map_pointnet2(g, 'p2m', 3)
+    enc = PointNet2MSG(feat_dim=C)
+    feats = enc.apply({'params': params, 'batch_stats': stats},
+                      jnp.asarray(g['p2_pcs']), train=False)
+    np.testing.assert_allclose(np.asarray(feats), g['p2m_feats'],
+                               atol=3e-4, rtol=1e-4)
+
+
 def test_global_forward_parity(g):
     model = GlobalModel(rot_type='quat', pc_feat_dim=C,
                         encoder_arch='pointnet', noise_dim=0)
