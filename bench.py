@@ -203,6 +203,18 @@ def bench_one(name, spec, n_iters=50):
         default_spc = '1' if os.environ.get('MPA_BENCH_SMOKE') else '8'
         spc = int(os.environ.get('MPA_BENCH_SPC', default_spc))
 
+    # partnet resident-HBM point table (datasets/part_table.py): the wire
+    # carries part slot ids; grouping then applies to the semantic path too
+    ptable = None
+    if (cfg.data.dataset == 'partnet'
+            and not os.environ.get('MPA_BENCH_HOST_WIRE')
+            and not os.environ.get('MPA_BENCH_SMOKE')):
+        from multi_part_assembly_tpu.datasets.partnet import \
+            enable_device_table
+        ptable = enable_device_table(train_loader, cfg, mesh=mesh)
+        if ptable is not None:
+            spc = int(os.environ.get('MPA_BENCH_SPC', '8'))
+
     # device-side mesh sampling (datasets/device_sampler.py): the wire
     # carries piece slot ids instead of point clouds.  The cold row keeps
     # the host wire on purpose -- it models the re-parse + full-wire
@@ -225,7 +237,12 @@ def bench_one(name, spec, n_iters=50):
         from multi_part_assembly_tpu.datasets.geometry import \
             warm_unpack_cache
         from multi_part_assembly_tpu.train.trainer import install_device_prep
-        if tables is not None:
+        if ptable is not None:
+            from multi_part_assembly_tpu.datasets.part_table import \
+                warm_gather_cache
+            warm_gather_cache(ptable, B, cfg.data.max_num_part, mesh=mesh,
+                              group_size=spc)
+        elif tables is not None:
             warm_sample_cache(
                 tables, B, cfg.data.max_num_part, cfg.data.num_pc_points,
                 mesh=mesh, data_keys=tuple(cfg.data.data_keys),
@@ -373,7 +390,8 @@ def bench_one(name, spec, n_iters=50):
         'step_ms': round(dt / n_steps * 1e3, 2),
         'data_wait_ms': round(data_t / n_steps * 1e3, 2),
         'steps_per_call': spc,
-        'wire': 'device-sampling' if tables is not None else 'packed-f16',
+        'wire': ('device-sampling' if tables is not None else
+                 'device-table' if ptable is not None else 'packed-f16'),
     }
     if reparse_bytes is not None:
         row['cold_cache'] = True

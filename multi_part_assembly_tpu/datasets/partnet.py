@@ -43,6 +43,10 @@ class PartNetPartDataset:
         self.shape_ids = self._read_data(data_fn)
         if overfit > 0:
             self.shape_ids = self.shape_ids[:overfit]
+        # resident-HBM point table (datasets/part_table.py): set via
+        # enable_device_table -> collate_batch ships part slot ids instead
+        # of the packed point rows
+        self._device_ptable = None
 
     def _shape_path(self, shape_id):
         return os.path.join(self.data_dir, 'shape_data',
@@ -110,7 +114,8 @@ class PartNetPartDataset:
 
     def _item(self, index, include_pcs=True):
         """Build one padded item dict; returns (dict, shuffled raw data,
-        num_parts) so `collate_batch` can pack the point clouds without a
+        num_parts, perm) so `collate_batch` can pack the point clouds (or
+        emit table slots, perm being the part-shuffle draw) without a
         second shuffle draw.  Without part shuffling the derived labels
         are deterministic, so they come from an LRU (instance numbering
         depends on the draw, so the shuffled path always re-derives)."""
@@ -119,8 +124,9 @@ class PartNetPartDataset:
         num_parts = cur_data['part_pcs'].shape[0]
         assert self.min_num_part <= num_parts <= self.max_num_part
 
+        perm = None
         if self.shuffle_parts:  # kill part-order leakage (partnet_data.py:76)
-            idx = np.random.permutation(num_parts)
+            idx = perm = np.random.permutation(num_parts)
             cur_data = {k: np.asarray(v)[idx] for k, v in cur_data.items()}
         else:
             with self._cache_lock:
@@ -132,7 +138,7 @@ class PartNetPartDataset:
                 if include_pcs:
                     data_dict['part_pcs'] = self._pad_data(
                         cur_data['part_pcs'])
-                return data_dict, cur_data, num_parts
+                return data_dict, cur_data, num_parts, None
 
         data_dict = {}
         if include_pcs:
@@ -210,7 +216,7 @@ class PartNetPartDataset:
                 self._item_cache[index] = small
                 while len(self._item_cache) > self._cache_items:
                     self._item_cache.popitem(last=False)
-        return data_dict, cur_data, num_parts
+        return data_dict, cur_data, num_parts, perm
 
     def collate_batch(self, indices):
         """Batch-level collation with the point clouds packed (valid parts
@@ -222,9 +228,11 @@ class PartNetPartDataset:
         single-local-device processes (see DataLoader.batch_collate)."""
         from .geometry import GeometryPartDataset
         from .loader import DataLoader
+        if self._device_ptable is not None:
+            return self._collate_table_slots(indices)
         dicts, pcs_list = [], []
         for index in indices:
-            d, cur_data, _ = self._item(index, include_pcs=False)
+            d, cur_data, _, _ = self._item(index, include_pcs=False)
             dicts.append(d)
             pcs_list.append(np.asarray(cur_data['part_pcs'], np.float32))
         batch = DataLoader._collate(dicts)
@@ -251,6 +259,61 @@ class PartNetPartDataset:
         batch['part_pcs__packed'] = packed
         batch['pack_index'] = pack_index
         return batch
+
+    def _collate_table_slots(self, indices):
+        """Resident-table wire (datasets/part_table.py): ships
+        `part_slots [B, P] int32` (global table rows, part-shuffle applied)
+        plus the small label arrays; the point clouds never leave HBM.
+        Every array has a batch axis, so this wire shards on any
+        data-parallel mesh without the packed wire's single-device gate."""
+        from .loader import DataLoader
+        slot_base = self._device_ptable.slot_base
+        dicts, slot_rows = [], []
+        P = self.max_num_part
+        for index in indices:
+            d, _, num_parts, perm = self._item(index, include_pcs=False)
+            dicts.append(d)
+            row = np.zeros(P, np.int32)
+            local = perm if perm is not None else np.arange(num_parts)
+            row[:num_parts] = slot_base[index] + local
+            slot_rows.append(row)
+        batch = DataLoader._collate(dicts)
+        batch['part_slots'] = np.stack(slot_rows)
+        batch['__ptable__'] = self._device_ptable
+        return batch
+
+
+def enable_device_table(loader, cfg, mesh=None, budget_bytes=4 << 30):
+    """Switch a PartNet loader to the resident-HBM point-table wire.
+
+    Builds + uploads the table once (replicated across the mesh) and flips
+    the dataset's collate to the slot wire.  Returns the PartPointTable,
+    or None when the loader/dataset does not qualify (no packed collation
+    or table over the HBM budget) -- the packed f16 wire stays in effect."""
+    import functools
+
+    import jax
+
+    from .part_table import build_part_table
+    ds = getattr(loader, 'dataset', None)
+    if not isinstance(ds, PartNetPartDataset):
+        return None
+    if ds._device_ptable is not None:
+        return ds._device_ptable
+    put = None
+    if mesh is not None:
+        put = functools.partial(
+            jax.device_put, device=jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()))
+    table = build_part_table(ds, put=put, budget_bytes=budget_bytes)
+    if table is None:
+        return None
+    ds._device_ptable = table
+    # the slot wire keeps a batch axis on every array, so it shards on any
+    # data-parallel mesh -- unlike the packed wire, whose [Kpad] rows gate
+    # batch collation to single-device processes (build_partnet_dataloader)
+    loader.batch_collate = True
+    return table
 
 
 def build_partnet_dataloader(cfg):

@@ -114,12 +114,22 @@ def _pair_chamfer_cost(pts1, pts2):
     pts1/pts2: [B, P, n, 3] -> [B, P, P] where [b, i, j] is the mean
     bidirectional chamfer between pts1[b, i] and pts2[b, j]
     (reference base_model.py:163-176).
+
+    The cross-product matmul packs 3-term bf16 mantissa splits along the
+    contraction (K=3 -> K=18, still ONE MXU pass; ~2^-24 relative accuracy
+    like the chamfer kernel's X48 packing, ops/chamfer.py:_pack_x48) --
+    ~6x cheaper than the HIGHEST (6-pass) f32 einsum it replaces, and this
+    runs per MoN sample per train step (bench_semantic 'cost').
     """
-    B, P, n, _ = pts1.shape
+    from .chamfer import _split3
     x2 = jnp.sum(pts1 * pts1, axis=-1)  # [B, P, n]
     y2 = jnp.sum(pts2 * pts2, axis=-1)
-    xy = jnp.einsum('bink,bjmk->bijnm', pts1, pts2,
-                    precision=jax.lax.Precision.HIGHEST)  # [B, P, P, n, n]
+    a1, a2, a3 = _split3(pts1)
+    b1, b2, b3 = _split3(pts2)
+    xpack = jnp.concatenate([a1, a1, a1, a2, a2, a3], axis=-1)  # [B,P,n,18]
+    ypack = jnp.concatenate([b1, b2, b3, b1, b2, b1], axis=-1)
+    xy = jnp.einsum('bins,bjms->bijnm', xpack, ypack,
+                    preferred_element_type=jnp.float32)  # [B, P, P, n, n]
     d = jnp.maximum(
         x2[:, :, None, :, None] + y2[:, None, :, None, :] - 2 * xy, 0.0)
     d1 = jnp.min(d, axis=4).mean(axis=3)  # [B, P, P]

@@ -321,6 +321,9 @@ def _prep_batch(batch, cfg, mesh, rng, augment=True):
                 max_parts=int(cfg.data.max_num_part),
                 data_keys=tuple(cfg.data.data_keys))
     else:
+        # resident-table wire (partnet): slots gather the clouds from HBM
+        # after sharding; everything else is the ordinary dense path
+        ptable = batch.pop('__ptable__', None)
         batch = {k: np.asarray(v) for k, v in batch.items()
                  if k not in _DROP_KEYS}
         real_bs = batch['part_valids'].shape[0]
@@ -342,6 +345,11 @@ def _prep_batch(batch, cfg, mesh, rng, augment=True):
                 batch[k[:-len('__packed')]] = unpack_parts(
                     batch[k], idx, batch['part_valids'])
                 del batch[k]
+        if ptable is not None:
+            from ..datasets.part_table import gather_part_table
+            slots = batch.pop('part_slots')
+            batch['part_pcs'] = gather_part_table(ptable.table, slots,
+                                                  batch['part_valids'])
     if 'part_valids' in batch and hasattr(batch['part_valids'], 'sharding'):
         batch = _pin_empty_leaves(batch, mesh)
     if augment and 'part_pcs_raw' in batch:
@@ -386,9 +394,27 @@ def install_device_prep(loader, cfg, mesh, group_size=1):
         return _pin_empty_leaves(out, mesh, batch_axis=1)
 
     def group_prep(host_batches):
+        if 'part_slots' in host_batches[0]:
+            # partnet resident-table wire: stack G slot batches, ONE
+            # put_sharded + ONE vmapped table gather (datasets/part_table)
+            from ..datasets.part_table import gather_part_table_multi
+            ptable = host_batches[0]['__ptable__']
+            G = len(host_batches)
+            stack = {k: np.stack([np.asarray(b[k]) for b in host_batches])
+                     for k in host_batches[0]
+                     if k not in _DROP_KEYS and k != '__ptable__'}
+            dev = put_sharded(stack, mesh, P(None, 'data'))
+            slots = dev.pop('part_slots')
+            dev['part_pcs'] = gather_part_table_multi(ptable.table, slots,
+                                                      dev['part_valids'])
+            out = _pin_empty(dev)
+            out['__group__'] = G
+            out['__real_bs__'] = int(stack['part_valids'].shape[1])
+            return out
         if 'part_counts' not in host_batches[0]:
             raise ValueError('grouped prep requires the geometry packed '
-                             'wire (part_counts)')
+                             'wire (part_counts) or the partnet table '
+                             'wire (part_slots)')
         G = len(host_batches)
         counts = np.stack([b['part_counts'] for b in host_batches])
         # sharded wire: per-batch arrays carry a leading [D] shard axis;
@@ -456,7 +482,9 @@ def install_device_prep(loader, cfg, mesh, group_size=1):
     loader.group_transform = group_prep
     # only full-size batches group; the epoch-tail remainder batch (and
     # anything else with a different batch axis) takes the per-batch path
-    loader.group_key = lambda b: b['part_counts'].shape
+    loader.group_key = lambda b: (b['part_counts'].shape
+                                  if 'part_counts' in b
+                                  else b['part_slots'].shape)
 
 
 class Trainer:
@@ -468,6 +496,19 @@ class Trainer:
         self.model = build_model(cfg)
         self.train_loader, self.val_loader = build_dataloader(cfg)
         steps_per_epoch = max(1, len(self.train_loader))
+        # partnet resident-HBM point table (datasets/part_table.py): the
+        # wire carries part slot ids instead of the packed point rows.
+        # 'auto' = on on real accelerators (the host wire is free on CPU);
+        # enabling it also turns batch collation on for multi-device
+        # meshes (the slot wire keeps a batch axis on every array)
+        if cfg.data.dataset == 'partnet':
+            dev_table = cfg.data.get('device_table', 'auto')
+            if dev_table == 'auto':
+                dev_table = jax.default_backend() != 'cpu'
+            if dev_table:
+                from ..datasets.partnet import enable_device_table
+                enable_device_table(self.train_loader, cfg, mesh=self.mesh)
+                enable_device_table(self.val_loader, cfg, mesh=self.mesh)
         # steps_per_call: how many train steps ride one lax.scan'd runtime
         # invocation (grouped H2D + one dispatch).  0 = auto: pays off on
         # the remote TPU runtime where every RPC costs ~2-6ms of host CPU;
@@ -506,7 +547,13 @@ class Trainer:
                     if loader is self.train_loader else 1
                 bs_global = bs * n_proc  # warms take the global batch
                 tables = getattr(loader.dataset, '_device_tables', None)
-                if tables is not None:
+                ptable = getattr(loader.dataset, '_device_ptable', None)
+                if ptable is not None:
+                    from ..datasets.part_table import warm_gather_cache
+                    warm_gather_cache(ptable, bs_global,
+                                      cfg.data.max_num_part,
+                                      mesh=self.mesh, group_size=spc)
+                elif tables is not None:
                     warm_sample_cache(
                         tables, bs_global, cfg.data.max_num_part,
                         cfg.data.num_pc_points, mesh=self.mesh,
@@ -534,7 +581,10 @@ class Trainer:
         first = next(iter(self.train_loader))
         init_batch, _ = _prep_batch(first, cfg, self.mesh,
                                     jax.random.PRNGKey(0))
-        if (self.steps_per_call > 1 and cfg.data.dataset == 'geometry'
+        groupable = (cfg.data.dataset == 'geometry'
+                     or getattr(self.train_loader.dataset, '_device_ptable',
+                                None) is not None)
+        if (self.steps_per_call > 1 and groupable
                 and getattr(self.train_loader, 'batch_collate', False)):
             install_device_prep(self.train_loader, cfg, self.mesh,
                                 group_size=self.steps_per_call)

@@ -248,6 +248,25 @@ def test_trainer_partnet_semantic_e2e(partnet_cfg, tmp_path):
     trainer.close()
 
 
+def test_trainer_partnet_table_wire_grouped_e2e(partnet_cfg, tmp_path):
+    """Semantic pipeline through the resident-HBM point table wire
+    (datasets/part_table.py) with steps_per_call grouping: the loader
+    ships [B, P] slot ids, the producer thread stacks G batches into one
+    vmapped table gather, and the multi-step executable consumes them.
+    device_table is forced on (the 'auto' gate turns it off on CPU)."""
+    partnet_cfg.data.device_table = True
+    partnet_cfg.exp.steps_per_call = 2
+    trainer = Trainer(partnet_cfg, ckp_dir=str(tmp_path / 'run_pnt'),
+                      quiet=True)
+    assert trainer.train_loader.dataset._device_ptable is not None
+    assert trainer.steps_per_call == 2
+    trainer.fit()
+    results = trainer.test()
+    assert 'test/connectivity_acc' in results
+    assert np.isfinite(results['test/loss'])
+    trainer.close()
+
+
 def test_find_last_ckp(tmp_path):
     import sys
     sys.path.insert(0, os.path.join(
