@@ -9,7 +9,15 @@ every shape static.
 
 Under pjit with the batch axis sharded, the jnp means are global means (XLA
 inserts the cross-replica collectives), i.e. sync-BN semantics; the
-reference's per-GPU DDP BN is a noisier estimate of the same thing.
+reference's per-GPU DDP BN is a noisier estimate of the same thing.  For
+strict parity studies `set_bn_groups(D)` (cfg.exp.sync_bn = False via the
+Trainer) switches train-mode statistics to per-data-shard groups: the
+leading batch axis splits into D blocks that each normalize with their own
+moments -- exactly torch DDP's per-GPU BN when D is the mesh data-axis
+size (the blocks are the per-device shards, so the grouped reductions are
+also comms-free).  Running stats then track the ACROSS-GROUP MEAN of the
+per-group moments (torch DDP keeps per-rank stats and checkpoints rank
+0's; averaging is the single-set equivalent -- documented deviation).
 """
 
 import flax.linen as nn
@@ -17,7 +25,20 @@ import jax
 import jax.numpy as jnp
 from numpy import prod as np_prod
 
-__all__ = ['MaskedBatchNorm']
+__all__ = ['MaskedBatchNorm', 'set_bn_groups', 'bn_groups']
+
+_BN_GROUPS = 1
+
+
+def set_bn_groups(n):
+    """Number of per-batch statistic groups for train-mode BN (1 = sync-BN
+    over the global batch, the default; D = per-replica BN parity)."""
+    global _BN_GROUPS
+    _BN_GROUPS = max(1, int(n))
+
+
+def bn_groups():
+    return _BN_GROUPS
 
 
 class MaskedBatchNorm(nn.Module):
@@ -43,6 +64,42 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param('scale', nn.initializers.ones, (features, ))
         bias = self.param('bias', nn.initializers.zeros, (features, ))
 
+        g = _BN_GROUPS if train and not self.is_initializing() else 1
+        if g > 1 and x.shape[0] % g:
+            g = 1  # batch axis not divisible into shard groups: sync stats
+        if train and g > 1:
+            # per-replica BN parity (module docstring): per-group moments
+            # over [g, B0/g, ...] blocks of the leading (data-sharded) axis
+            xs = x.astype(jnp.float32).reshape((g, -1) + x.shape[1:])
+            reduce_axes = tuple(range(1, xs.ndim - 1))
+            stat_shape = (g, ) + (1, ) * (xs.ndim - 2) + (xs.shape[-1], )
+            if mask is None:
+                mean = jnp.mean(xs, axis=reduce_axes)  # [g, C]
+                var = jnp.mean((xs - mean.reshape(stat_shape))**2,
+                               axis=reduce_axes)
+                denom = jnp.full((g, 1), float(np_prod(xs.shape[1:-1])),
+                                 jnp.float32)
+            else:
+                w = jnp.broadcast_to(
+                    mask[..., None].astype(jnp.float32),
+                    x.shape[:-1] + (1, )).reshape(
+                        (g, -1) + x.shape[1:-1] + (1, ))
+                denom = jnp.maximum(jnp.sum(w, axis=reduce_axes), 1.0)
+                mean = jnp.sum(xs * w, axis=reduce_axes) / denom
+                var = jnp.sum(w * (xs - mean.reshape(stat_shape))**2,
+                              axis=reduce_axes) / denom
+            var_track = var * denom / jnp.maximum(denom - 1.0, 1.0)
+            ra_mean.value = self.momentum * ra_mean.value + \
+                (1.0 - self.momentum) * jnp.mean(mean, axis=0)
+            ra_var.value = self.momentum * ra_var.value + \
+                (1.0 - self.momentum) * jnp.mean(var_track, axis=0)
+            factor = (scale * jax.lax.rsqrt(var + self.epsilon)) \
+                .reshape(stat_shape)
+            offset = (bias - mean * scale *
+                      jax.lax.rsqrt(var + self.epsilon)).reshape(stat_shape)
+            xg = x.reshape((g, -1) + x.shape[1:])
+            out = xg * factor.astype(x.dtype) + offset.astype(x.dtype)
+            return out.reshape(x.shape)
         if train:
             # statistics always in f32, even for bf16 activations
             xs = x.astype(jnp.float32)

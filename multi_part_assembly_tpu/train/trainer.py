@@ -493,6 +493,12 @@ class Trainer:
         configure_precision(cfg)  # cfg.exp.bf16 -> global compute dtype
         self.cfg = cfg
         self.mesh = make_mesh(batch_size=cfg.exp.batch_size)
+        # BN statistics scope: sync-BN over the global batch (default) or
+        # strict per-replica parity with the reference's DDP BN
+        # (cfg.exp.sync_bn = False -> one stat group per data-axis device)
+        from ..models.modules.norm import set_bn_groups
+        set_bn_groups(1 if cfg.exp.get('sync_bn', True)
+                      else self.mesh.shape['data'])
         self.model = build_model(cfg)
         self.train_loader, self.val_loader = build_dataloader(cfg)
         steps_per_epoch = max(1, len(self.train_loader))

@@ -139,6 +139,40 @@ def test_masked_batchnorm_matches_compact_bn(rng):
                                ref[[0, 1, 3]], atol=1e-4)
 
 
+def test_masked_batchnorm_per_replica_groups(rng):
+    """set_bn_groups(D) (cfg.exp.sync_bn = False): train-mode statistics
+    per leading-axis block == torch DDP's per-GPU BN; running stats track
+    the across-group mean (documented deviation)."""
+    from multi_part_assembly_tpu.models.modules.norm import set_bn_groups
+    x = jnp.asarray(rng.randn(8, 10, 4), jnp.float32)
+    mask = jnp.asarray([1, 1, 0, 1, 1, 1, 0, 1], jnp.float32)
+    bn = MaskedBatchNorm()
+    variables = bn.init(jax.random.PRNGKey(0), x, mask[:, None], True)
+    set_bn_groups(2)
+    try:
+        y, mut = bn.apply(variables, x, mask[:, None], True,
+                          mutable=['batch_stats'])
+    finally:
+        set_bn_groups(1)
+    means, vars_ = [], []
+    for rows in ([0, 1, 3], [4, 5, 7]):  # valid rows per half
+        half = slice(0, 4) if rows[0] == 0 else slice(4, 8)
+        xv = np.asarray(x)[rows].reshape(-1, 4)
+        mean, var = xv.mean(0), xv.var(0)
+        ref = (np.asarray(x)[half] - mean) / np.sqrt(var + 1e-5)
+        np.testing.assert_allclose(
+            np.asarray(y)[half][[r - half.start for r in rows]],
+            ref[[r - half.start for r in rows]], atol=1e-4)
+        means.append(mean)
+        vars_.append(var * xv.shape[0] / (xv.shape[0] - 1))
+    np.testing.assert_allclose(
+        np.asarray(mut['batch_stats']['mean']),
+        0.1 * np.mean(means, axis=0), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mut['batch_stats']['var']),
+        0.9 + 0.1 * np.mean(vars_, axis=0), rtol=1e-5)
+
+
 def test_masked_gru_prefix_equivalence(rng):
     """Masked GRU over a padded sequence == GRU over the valid prefix."""
     B, T, C, H = 2, 6, 8, 16
