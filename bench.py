@@ -322,15 +322,20 @@ def bench_one(name, spec, n_iters=50):
         # == sum of all step times, zero overlap with the producer).  A
         # LAGGED fetch (the kicker keeps kick_lag handles in flight) starts
         # the pipeline without blocking on the newest step.
-        # defaults from a measured grid (this dataset, v5e): every-2/lag-2
-        # blocking kicks gave 867 samples/s vs 732 no-kick, 801 every-1,
-        # ~810 async-copy kicks
-        from multi_part_assembly_tpu.train.trainer import ExecutionKicker
-        kick_every = int(os.environ.get('MPA_BENCH_KICK', '2'))
-        kick_lag = int(os.environ.get('MPA_BENCH_LAG', '2'))
+        # defaults track Trainer's, which carry the measured grid evidence
+        # (round 4: threaded every-2/lag-4 1118.1 sps vs blocking lag-2
+        # 1097.0; round 3: blocking every-2/lag-2 867 vs 732 no-kick)
+        from multi_part_assembly_tpu.train.trainer import (ExecutionKicker,
+                                                           Trainer)
+        kick_every = int(os.environ.get('MPA_BENCH_KICK')
+                         or Trainer.KICK_EVERY)
+        kick_lag = int(os.environ.get('MPA_BENCH_LAG') or Trainer.KICK_LAG)
+        thr_env = os.environ.get('MPA_BENCH_KICK_THREAD')
+        threaded = Trainer.KICK_THREADED if thr_env is None else \
+            thr_env not in ('', '0')
         kicker = ExecutionKicker(
             every=kick_every, lag=kick_lag, enabled=bool(kick_every),
-            threaded=bool(os.environ.get('MPA_BENCH_KICK_THREAD')))
+            threaded=threaded)
         t0 = time.perf_counter()
         n_disp = 0
         while steps < n_steps:

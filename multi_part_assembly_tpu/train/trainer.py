@@ -676,10 +676,19 @@ class Trainer:
     # flush (measured: 7 pipelined steps run in 1.5ms/step, but one
     # blocking fetch per step makes the same loop 150-300ms/step)
     LOG_FLUSH_STEPS = 32
-    # execution-kick cadence (see ExecutionKicker)
+    # execution-kick cadence (see ExecutionKicker).  Round-4 bench grid
+    # (scripts/bench_grid.py, pn_transformer everyday, real chip): every
+    # threaded cell except kick-every-dispatch beat its blocking twin --
+    # spc8 blocking 1097.0 sps / 29.17ms vs threaded lag-4 1118.1 sps /
+    # 28.62ms (best of 8 cells; threaded lag-2 1110.6, spc16 threaded
+    # 1107.0, kick-every-dispatch 1055.0 is the one regression).  The
+    # worker thread absorbs the ~100ms runtime flush, so a deeper lag
+    # keeps more dispatches in flight without stalling the dispatch
+    # thread; benches can still override via MPA_BENCH_KICK/LAG/
+    # KICK_THREAD.
     KICK_EVERY = 2
-    KICK_LAG = 2
-    KICK_THREADED = False  # flip via bench evidence (MPA_BENCH_KICK_THREAD)
+    KICK_LAG = 4
+    KICK_THREADED = True
 
     def _flush_train_logs(self):
         """Materialize all buffered step-log arrays in batched stacked

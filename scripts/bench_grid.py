@@ -69,10 +69,10 @@ def main():
     for cell in args.cells.split(','):
         knobs = CELLS[cell]
         for k, v in knobs.items():
-            if v:
-                os.environ[k] = v
-            else:
-                os.environ.pop(k, None)
+            # always set explicitly ('' = off): bench falls back to the
+            # Trainer class defaults when a knob is ABSENT, and those now
+            # default to threaded kicks (round-4 flip)
+            os.environ[k] = v
         t0 = time.perf_counter()
         try:
             row = bench.bench_one(args.model, bench.BENCH_MODELS[args.model])
