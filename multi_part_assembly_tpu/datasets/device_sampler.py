@@ -27,6 +27,24 @@ f32 draw math); the RNG stream is jax threefry keyed per (epoch, batch)
 instead of PCG32 per (epoch, item, part) -- a documented stream change,
 like the round-2 alias-table switch (ROADMAP "Known deviations").
 
+Table layouts (both behind the same `tables.table / tables.n_faces` wire
+signature, dispatched on static shapes inside `_sample_points`):
+
+  * DENSE `[n_pieces, 16, Fmax]`: one block per piece, Fmax = the largest
+    face count.  Memory scales with n_pieces x Fmax -- wasteful when face
+    counts are skewed (real Breaking-Bad fracture sets).
+  * CHUNKED `[total_chunks, 24, Fc]` (round 4): every piece is split into
+    ceil(F / Fc) chunks of Fc faces, so memory scales with the TOTAL face
+    count instead of n_pieces x max(F).  The Walker alias draw needs
+    prob(f0) and then the ALIAS face's triangle -- which can live in a
+    different chunk -- so the chunked rows inline the alias triangle
+    (rows 10-18 = tri(alias(f))) next to prob; ONE one-hot matmul against
+    f0's chunk then yields everything and the kernel stays single-pass.
+    The grid grows a chunk axis (K, Cmax); blocks past a piece's chunk
+    count clamp to its last chunk (same block index -> Mosaic skips the
+    re-fetch) and the kernel body is `when`-gated off, so cost tracks the
+    piece's ACTUAL chunk count, not Cmax.
+
 Fallbacks: anything without meshes (PartNet npy), multi-device data axes,
 or a table that would blow the HBM budget keeps the packed f16 host wire.
 """
@@ -50,11 +68,26 @@ __all__ = ['DeviceTables', 'build_device_tables', 'sample_packed',
            'sample_and_expand_sharded', 'sample_and_expand_multi_sharded',
            'warm_sample_cache']
 
-# table row layout (per piece, [16, Fmax] f32)
+# dense table row layout (per piece, [16, Fmax] f32)
 _ROW_TRI = 0      # rows 0-8: a.xyz, (b-a).xyz, (c-a).xyz, component-major
 _ROW_PROB = 9     # alias acceptance threshold
 _ROW_ALIAS = 10   # alias face index (f32-encoded, exact below 2^24)
 _N_ROWS = 16
+
+# chunked table row layout (per chunk, [24, Fc] f32): the alias face's
+# triangle is inlined so the draw never needs a second (cross-chunk) fetch
+_CROW_TRI = 0     # rows 0-8: tri(f), same component-major layout
+_CROW_PROB = 9    # alias acceptance threshold
+_CROW_ATRI = 10   # rows 10-18: tri(alias(f)); rows 19-23 sublane padding
+_N_ROWS_C = 24
+_CHUNK_F = 512    # default chunk width (faces; multiple of 128)
+
+# chunked meta rows ([3 + Cmax, n_pieces] i32; rows 3+ are zero padding
+# whose only job is to encode the STATIC Cmax in the array shape, so the
+# jitted wire fns need no extra static argument)
+_META_NF = 0      # face count
+_META_BASE = 1    # first chunk row in the table
+_META_NCH = 2     # chunk count (= ceil(nf / Fc))
 
 
 def _round_up(x, m):
@@ -70,10 +103,14 @@ class DeviceTables:
     """Device-resident sampling tables + the host path->slot map."""
 
     def __init__(self, table, n_faces, slot_of, fmax, interpret=False):
-        self.table = table      # [n_pieces, 16, Fmax] f32 (device)
-        self.n_faces = n_faces  # [n_pieces] i32 (device)
+        # dense: table [n_pieces, 16, Fmax] f32, n_faces [n_pieces] i32;
+        # chunked: table [total_chunks, 24, Fc], n_faces = the
+        # [3 + Cmax, n_pieces] i32 meta array (kept under the same
+        # attribute so every wire signature is layout-agnostic)
+        self.table = table
+        self.n_faces = n_faces
         self.slot_of = slot_of  # mesh path -> slot
-        self.fmax = fmax
+        self.fmax = fmax        # dense Fmax / chunked Fc
         # interpret-mode pallas (CPU tests); set by the enabling caller
         self.interpret = interpret
 
@@ -83,36 +120,68 @@ class DeviceTables:
 
 
 def build_device_tables(paths, sampler, put=None,
-                        budget_bytes=4 * 1024 ** 3, fmax=None):
+                        budget_bytes=4 * 1024 ** 3, fmax=None,
+                        chunk_f=_CHUNK_F, layout=None):
     """Assemble + upload the sampling tables for `paths` (one-time).
 
     `sampler` is a mesh_io.MeshSampler (native or numpy fallback); `put`
-    places the finished arrays (e.g. a replicated NamedSharding put);
-    returns None when the single-Fmax table would exceed `budget_bytes`
-    (callers then keep the host wire; per-face-count bucketed tables are
-    the upgrade path for real-data scale, see ROADMAP)."""
+    places the finished arrays (e.g. a replicated NamedSharding put).
+    `layout` picks the table format: 'dense' (one [16, Fmax] block per
+    piece), 'chunked' ([24, chunk_f] blocks, memory ~ total face count),
+    or None = auto -- dense when it fits `budget_bytes` (fewer grid
+    steps), else chunked, else None (callers keep the host wire)."""
     paths = list(dict.fromkeys(paths))  # stable unique order
     if not paths:
         return None
     counts = [sampler.n_faces(p) for p in paths]
-    if fmax is None:
-        fmax = max(128, _round_up(max(counts), 128))
-    if max(counts) > fmax:
-        return None
     n_pieces = len(paths)
-    if n_pieces * _N_ROWS * fmax * 4 > budget_bytes:
-        return None
-    table = np.zeros((n_pieces, _N_ROWS, fmax), np.float32)
-    n_faces = np.asarray(counts, np.int32)
-    for i, p in enumerate(paths):
-        tri9, prob, alias, _ = sampler.export_tables(p, fmax)
-        table[i, _ROW_TRI:_ROW_TRI + 9] = tri9
-        table[i, _ROW_PROB] = prob
-        table[i, _ROW_ALIAS] = alias
+    slot_of = {p: i for i, p in enumerate(paths)}
     put = put or jax.device_put
-    return DeviceTables(put(jnp.asarray(table)),
-                        put(jnp.asarray(n_faces)),
-                        {p: i for i, p in enumerate(paths)}, fmax)
+
+    if layout in (None, 'dense'):
+        fmax_d = fmax if fmax is not None else \
+            max(128, _round_up(max(counts), 128))
+        if max(counts) <= fmax_d and \
+                n_pieces * _N_ROWS * fmax_d * 4 <= budget_bytes:
+            table = np.zeros((n_pieces, _N_ROWS, fmax_d), np.float32)
+            for i, p in enumerate(paths):
+                tri9, prob, alias, _ = sampler.export_tables(p, fmax_d)
+                table[i, _ROW_TRI:_ROW_TRI + 9] = tri9
+                table[i, _ROW_PROB] = prob
+                table[i, _ROW_ALIAS] = alias
+            return DeviceTables(put(jnp.asarray(table)),
+                                put(jnp.asarray(counts, jnp.int32)),
+                                slot_of, fmax_d)
+        if layout == 'dense':
+            return None
+
+    # chunked: memory ~ sum(ceil(F_i / chunk_f)) * 24 * chunk_f
+    nch = [max(1, -(-f // chunk_f)) for f in counts]
+    total = sum(nch)
+    if total * _N_ROWS_C * chunk_f * 4 > budget_bytes:
+        return None
+    cmax = max(nch)
+    base = np.zeros(n_pieces, np.int64)
+    base[1:] = np.cumsum(nch)[:-1]
+    meta = np.zeros((3 + cmax, n_pieces), np.int32)
+    meta[_META_NF] = counts
+    meta[_META_BASE] = base
+    meta[_META_NCH] = nch
+    table = np.zeros((total, _N_ROWS_C, chunk_f), np.float32)
+    for i, p in enumerate(paths):
+        fpad = nch[i] * chunk_f
+        tri9, prob, alias, _ = sampler.export_tables(p, fpad)
+        # alias indices are f32-encoded exact ints (padding aliases self,
+        # which stays inside fpad); +0.5 guards the int cast like the
+        # kernel's round (advisor round 3)
+        atri = tri9[:, (alias + 0.5).astype(np.int64)]
+        for c in range(nch[i]):
+            sl = slice(c * chunk_f, (c + 1) * chunk_f)
+            table[base[i] + c, _CROW_TRI:_CROW_TRI + 9] = tri9[:, sl]
+            table[base[i] + c, _CROW_PROB] = prob[sl]
+            table[base[i] + c, _CROW_ATRI:_CROW_ATRI + 9] = atri[:, sl]
+    return DeviceTables(put(jnp.asarray(table)), put(jnp.asarray(meta)),
+                        slot_of, chunk_f)
 
 
 def _sample_kernel(slots_ref, fs_ref, tbl_ref, u_ref, out_ref, *, fmax,
@@ -172,9 +241,104 @@ def _sample_kernel(slots_ref, fs_ref, tbl_ref, u_ref, out_ref, *, fmax,
     out_ref[0, 3:8, :] = jnp.zeros((5, npad), jnp.float32)
 
 
+def _sample_kernel_chunked(slots_ref, meta_ref, tbl_ref, u_ref, out_ref, *,
+                           fc, npad):
+    """One program per (packed part row, face chunk).
+
+    tbl_ref: [1, 24, Fc] f32, ONE chunk of the piece's table (block index
+    = chunk_base[slot] + min(c, n_chunks-1): past-the-end chunks repeat
+    the last block index so Mosaic skips the re-fetch, and the body is
+    `when`-gated off).  Only the chunk containing a point's drawn face f0
+    contributes: the one-hot matmul is all-zero elsewhere, making prob 0,
+    accept False, and the inlined alias-triangle rows zero -- so the
+    cross-chunk accumulation into out_ref is exact.  The alias triangle
+    (which may live in ANY chunk) rides rows 10-18 of f0's own column, so
+    the draw is ONE matmul here vs the dense kernel's two."""
+    k = pl.program_id(0)
+    c = pl.program_id(1)
+    slot = slots_ref[k]
+    nch = meta_ref[_META_NCH, slot]
+
+    @pl.when(c < nch)
+    def _():
+        t = tbl_ref[0]                      # [24, Fc]
+        u = u_ref[0]                        # [8, Npad]
+        F = meta_ref[_META_NF, slot].astype(jnp.float32)
+        rf = u[0:1, :] * F                  # [1, Npad]
+        f0 = jnp.minimum(jnp.floor(rf), F - 1.0)
+        frac = rf - f0
+        iota = jax.lax.broadcasted_iota(jnp.int32, (fc, npad), 0) + c * fc
+        oh = (iota == f0.astype(jnp.int32)).astype(jnp.float32)
+        sel = jax.lax.dot_general(
+            t, oh, (((1, ), (0, )), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)    # [24, Npad] at f0
+        accept = frac < sel[_CROW_PROB:_CROW_PROB + 1, :]
+        tri = jnp.where(accept, sel[_CROW_TRI:_CROW_TRI + 9, :],
+                        sel[_CROW_ATRI:_CROW_ATRI + 9, :])
+        su = jnp.sqrt(u[1:2, :])
+        b1 = su * (1.0 - u[2:3, :])
+        b2 = su * u[2:3, :]
+        pts = tri[0:3, :] + b1 * tri[3:6, :] + b2 * tri[6:9, :]
+
+        @pl.when(c == 0)
+        def _():
+            out_ref[0, 0:3, :] = pts
+            out_ref[0, 3:8, :] = jnp.zeros((5, npad), jnp.float32)
+
+        @pl.when(c > 0)
+        def _():
+            out_ref[0, 0:3, :] = out_ref[0, 0:3, :] + pts
+
+
+def _sample_points_chunked(table, meta, slots, uniforms, n_points,
+                           interpret=False):
+    """Chunked-table variant of `_sample_points` (same contract)."""
+    K = slots.shape[0]
+    fc = table.shape[2]
+    npad = uniforms.shape[2]
+    cmax = meta.shape[0] - 3  # static Cmax rides the meta array's shape
+    if not _HAS_PLTPU:  # pragma: no cover - CPU-only jax builds
+        return sample_packed_ref(table, meta, slots, uniforms, n_points)
+    kwargs = {} if interpret else {
+        'compiler_params': pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)}
+
+    def _tbl_index(k, c, slots, meta):
+        slot = slots[k]
+        last = meta[_META_NCH, slot] - 1
+        return (meta[_META_BASE, slot] + jnp.minimum(c, last), 0, 0)
+
+    out = pl.pallas_call(
+        functools.partial(_sample_kernel_chunked, fc=fc, npad=npad),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # slots, meta
+            grid=(K, cmax),
+            in_specs=[
+                pl.BlockSpec((1, _N_ROWS_C, fc), _tbl_index),
+                pl.BlockSpec((1, 8, npad),
+                             lambda k, c, slots, meta: (k, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 8, npad),
+                                   lambda k, c, slots, meta: (k, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((K, 8, npad), jnp.float32),
+        interpret=interpret,
+        **kwargs,
+    )(slots.astype(jnp.int32), meta.astype(jnp.int32), table, uniforms)
+    return jnp.transpose(out[:, 0:3, :n_points], (0, 2, 1))
+
+
 def _sample_points(table, n_faces, slots, uniforms, n_points,
                    interpret=False):
-    """[K] slots + [K, 8, Npad] uniforms -> [K, n_points, 3] f32."""
+    """[K] slots + [K, 8, Npad] uniforms -> [K, n_points, 3] f32.
+
+    Dispatches on the table's STATIC row extent: 16 rows = dense layout
+    (n_faces is [n_pieces] face counts), 24 rows = chunked layout
+    (n_faces is the [3 + Cmax, n_pieces] meta array)."""
+    if table.shape[1] == _N_ROWS_C:
+        return _sample_points_chunked(table, n_faces, slots, uniforms,
+                                      n_points, interpret=interpret)
     K = slots.shape[0]
     fmax = table.shape[2]
     npad = uniforms.shape[2]
@@ -212,8 +376,41 @@ def sample_packed(table, n_faces, slots, key, n_points, interpret=False):
                           interpret=interpret)
 
 
+def _sample_chunked_ref(table, meta, slots, uniforms, n_points):
+    """Pure-jnp gather oracle for the CHUNKED kernel's exact math."""
+    t = jnp.asarray(table)                          # [total, 24, Fc]
+    m = jnp.asarray(meta)
+    slots = jnp.asarray(slots)
+    u = jnp.asarray(uniforms)                       # [K, 8, Npad]
+    fc = t.shape[2]
+    F = m[_META_NF, slots].astype(jnp.float32)      # [K]
+    base = m[_META_BASE, slots]                     # [K]
+    rf = u[:, 0, :] * F[:, None]
+    f0 = jnp.minimum(jnp.floor(rf), F[:, None] - 1.0)
+    frac = rf - f0
+    f0i = f0.astype(jnp.int32)
+    row = base[:, None] + f0i // fc                 # [K, Npad] chunk row
+    col = f0i % fc
+    flat = ((row[..., None] * t.shape[1]
+             + jnp.arange(_CROW_ATRI + 9)[None, None, :]) * fc
+            + col[..., None])
+    g = t.reshape(-1)[flat]                         # [K, Npad, 19]
+    accept = frac < g[..., _CROW_PROB]
+    tri = jnp.where(accept[..., None], g[..., _CROW_TRI:_CROW_TRI + 9],
+                    g[..., _CROW_ATRI:_CROW_ATRI + 9])
+    su = jnp.sqrt(u[:, 1, :])
+    b1 = su * (1.0 - u[:, 2, :])
+    b2 = su * u[:, 2, :]
+    pts = tri[..., 0:3] + b1[..., None] * tri[..., 3:6] + \
+        b2[..., None] * tri[..., 6:9]
+    return pts[:, :n_points, :]
+
+
 def sample_packed_ref(table, n_faces, slots, uniforms, n_points):
     """Pure-jnp oracle (gather-based) for the kernel's exact math."""
+    if table.shape[1] == _N_ROWS_C:
+        return _sample_chunked_ref(table, n_faces, slots, uniforms,
+                                   n_points)
     t = jnp.asarray(table)[jnp.asarray(slots)]      # [K, 16, Fmax]
     u = jnp.asarray(uniforms)                       # [K, 8, Npad]
     F = jnp.asarray(n_faces)[jnp.asarray(slots)].astype(jnp.float32)

@@ -627,7 +627,8 @@ def augment_geometry_batch(part_pcs_raw, part_valids, key, rot_range=-1.0,
     return {'part_pcs': pcs, 'part_quat': gt_quat, 'part_trans': gt_trans}
 
 
-def enable_device_sampling(loader, cfg, mesh=None, budget_bytes=None):
+def enable_device_sampling(loader, cfg, mesh=None, budget_bytes=None,
+                           layout=None):
     """Switch a geometry loader to device-side mesh sampling.
 
     Builds + uploads the sampling tables once (datasets/device_sampler.py)
@@ -648,6 +649,9 @@ def enable_device_sampling(loader, cfg, mesh=None, budget_bytes=None):
             jax.device_put, device=jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec()))
     kwargs = {} if budget_bytes is None else {'budget_bytes': budget_bytes}
+    layout = layout or cfg.data.get('device_table_layout', None)
+    if layout:
+        kwargs['layout'] = layout
     tables = build_device_tables(ds.all_mesh_paths(), ds.sampler, put=put,
                                  **kwargs)
     if tables is None:

@@ -123,6 +123,49 @@ def main():
         o = g(xb, yb)
     jax.block_until_ready(o)
     print(f'fwd+bwd p=20 separated: {(time.perf_counter()-t0)/5*1e3:.1f} ms')
+
+    # device-sampler kernels on real Mosaic lowering: dense vs chunked
+    # layouts must draw IDENTICAL points (the chunked kernel leans on
+    # block-index clamping + when-gated output revisits that interpret
+    # mode does not exercise faithfully)
+    import tempfile
+
+    from multi_part_assembly_tpu.datasets import device_sampler as dsmp
+    from multi_part_assembly_tpu.datasets.mesh_io import MeshSampler
+
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        for i, nf in enumerate([300, 128, 37, 520]):
+            v = rng.randn(nf * 3, 3).astype(np.float32)
+            lines = [f'v {a} {b} {c}' for a, b, c in v]
+            lines += [f'f {3 * k + 1} {3 * k + 2} {3 * k + 3}'
+                      for k in range(nf)]
+            p = os.path.join(td, f'soup{i}.obj')
+            with open(p, 'w') as f:
+                f.write('\n'.join(lines) + '\n')
+            paths.append(p)
+        ms = MeshSampler()
+        dense = dsmp.build_device_tables(paths, ms, layout='dense')
+        chunk = dsmp.build_device_tables(paths, ms, layout='chunked',
+                                         chunk_f=128)
+        slots = jnp.asarray([0, 3, 1, 2, 3, 0], jnp.int32)
+        key = jax.random.PRNGKey(11)
+        out_d = jax.block_until_ready(dsmp.sample_packed(
+            dense.table, dense.n_faces, slots, key, 200))
+        out_c = jax.block_until_ready(dsmp.sample_packed(
+            chunk.table, chunk.n_faces, slots, key, 200))
+        npad = 256
+        u = jnp.asarray(rng.rand(6, 8, npad).astype(np.float32))
+        ref = dsmp.sample_packed_ref(dense.table, dense.n_faces, slots,
+                                     u, 200)
+        ker = dsmp._sample_points(dense.table, dense.n_faces, slots, u, 200)
+        serr = float(jnp.max(jnp.abs(ker - ref)))
+        cerr = float(jnp.max(jnp.abs(out_c - out_d)))
+        print(f'sampler dense-vs-oracle max err: {serr:.2e}; '
+              f'chunked-vs-dense max err: {cerr:.2e}')
+        assert serr < 1e-6
+        assert cerr == 0.0
+
     print('ALL KERNEL CHECKS PASSED')
 
 

@@ -95,6 +95,102 @@ def test_kernel_matches_oracle_ragged_tables():
     np.testing.assert_allclose(np.asarray(ker), np.asarray(ref), atol=1e-6)
 
 
+def _write_soup(path, n_faces, seed):
+    """Random triangle soup OBJ with an exact face count (spans chunk
+    boundaries in ways the 12-face cube fixtures cannot)."""
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n_faces * 3, 3)).astype(np.float32)
+    lines = [f'v {x} {y} {z}' for x, y, z in v]
+    lines += [f'f {3 * i + 1} {3 * i + 2} {3 * i + 3}'
+              for i in range(n_faces)]
+    with open(path, 'w') as f:
+        f.write('\n'.join(lines) + '\n')
+
+
+def test_chunked_matches_dense(tmp_path):
+    """Chunked tables (Fc=128) draw BIT-IDENTICAL points to the dense
+    layout on ragged multi-chunk pieces: 300 faces (3 chunks, ragged
+    last), 128 (exactly one), 37 (sub-chunk), 520 (5 chunks).  The alias
+    face of a draw can live in any chunk -- the inlined alias-triangle
+    rows must reproduce the dense kernel's second fetch exactly."""
+    s = MeshSampler()
+    paths = []
+    for i, nf in enumerate([300, 128, 37, 520]):
+        p = str(tmp_path / f'soup{i}.obj')
+        _write_soup(p, nf, seed=i)
+        paths.append(p)
+    dense = dsmp.build_device_tables(paths, s, layout='dense')
+    chunk = dsmp.build_device_tables(paths, s, layout='chunked',
+                                     chunk_f=128)
+    assert dense.table.shape[1] == dsmp._N_ROWS
+    assert chunk.table.shape[1] == dsmp._N_ROWS_C
+    # memory: chunked rows = sum(ceil(F/128)) = 3+1+1+5
+    assert chunk.table.shape[0] == 10
+    assert chunk.n_faces.shape == (3 + 5, 4)  # meta, Cmax=5 in the shape
+    slots = jnp.asarray([0, 3, 1, 2, 3, 0], jnp.int32)
+    key = jax.random.PRNGKey(7)
+    out_d = dsmp.sample_packed(dense.table, dense.n_faces, slots, key,
+                               200, interpret=True)
+    out_c = dsmp.sample_packed(chunk.table, chunk.n_faces, slots, key,
+                               200, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_c), np.asarray(out_d))
+    # and the chunked gather oracle agrees with the chunked kernel
+    rng = np.random.default_rng(1)
+    uniforms = jnp.asarray(rng.random((6, 8, 256), np.float32))
+    ref = dsmp.sample_packed_ref(chunk.table, chunk.n_faces, slots,
+                                 uniforms, 200)
+    ker = dsmp._sample_points(chunk.table, chunk.n_faces, slots, uniforms,
+                              200, interpret=True)
+    np.testing.assert_allclose(np.asarray(ker), np.asarray(ref), atol=1e-6)
+
+
+def test_chunked_budget_auto(tmp_path):
+    """layout=None auto-picks: dense when it fits, else chunked (memory ~
+    total faces, not n_pieces x Fmax), else None."""
+    s = MeshSampler()
+    paths = []
+    for i, nf in enumerate([600, 20, 20, 20]):
+        p = str(tmp_path / f'soup{i}.obj')
+        _write_soup(p, nf, seed=10 + i)
+        paths.append(p)
+    # dense needs 4 pieces x 16 x 640 x 4 = 163840 B; chunked at Fc=128
+    # needs (5+1+1+1) x 24 x 128 x 4 = 98304 B
+    t = dsmp.build_device_tables(paths, s, budget_bytes=200_000,
+                                 chunk_f=128)
+    assert t.table.shape[1] == dsmp._N_ROWS  # dense fits -> dense
+    t = dsmp.build_device_tables(paths, s, budget_bytes=120_000,
+                                 chunk_f=128)
+    assert t.table.shape[1] == dsmp._N_ROWS_C  # only chunked fits
+    assert dsmp.build_device_tables(paths, s, budget_bytes=50_000,
+                                    chunk_f=128) is None
+
+
+def test_chunked_slot_wire_integration(bb_tree):
+    """enable_device_sampling(layout='chunked') runs the full slot wire
+    through the chunked kernel and lands on the same surfaces."""
+    from multi_part_assembly_tpu.utils.config_utils import CfgNode
+    loader = _slot_loader(bb_tree)
+    cfg = CfgNode({'data': {}})
+    tables = enable_device_sampling(loader, cfg, layout='chunked')
+    assert tables is not None
+    assert tables.table.shape[1] == dsmp._N_ROWS_C
+    batch = next(iter(loader))
+    assert 'part_slots__packed' in batch
+    out = dsmp.sample_and_expand(
+        tables.table, tables.n_faces,
+        jnp.asarray(batch['part_slots__packed']),
+        jnp.asarray(batch['part_counts']),
+        jnp.asarray(batch['sample_seed']), n_points=64, max_parts=8,
+        data_keys=('part_ids', 'valid_matrix'), interpret=True)
+    pcs = np.asarray(out['part_pcs_raw'])
+    assert pcs.shape == (2, 8, 64, 3)
+    valid = np.asarray(batch['part_counts'])
+    # valid parts sample real geometry; padded parts zero
+    for b in range(2):
+        assert np.abs(pcs[b, :valid[b]]).max() > 0
+        assert np.abs(pcs[b, valid[b]:]).max() == 0
+
+
 def test_sampling_distribution_matches_host(tmp_path):
     """Device draws land on the same surface with the same area weighting
     as the host sampler (same alias tables; jax-threefry uniforms)."""
