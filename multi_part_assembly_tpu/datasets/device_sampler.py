@@ -128,8 +128,18 @@ def build_device_tables(paths, sampler, put=None,
     places the finished arrays (e.g. a replicated NamedSharding put).
     `layout` picks the table format: 'dense' (one [16, Fmax] block per
     piece), 'chunked' ([24, chunk_f] blocks, memory ~ total face count),
-    or None = auto -- dense when it fits `budget_bytes` (fewer grid
-    steps), else chunked, else None (callers keep the host wire)."""
+    or None = auto -- the cheaper KERNEL among the layouts that fit
+    `budget_bytes`, else None (callers keep the host wire).
+
+    Auto cost model (calibrated on the real chip,
+    scripts/bench_chunked_sampler.py): per-row kernel time tracks the
+    one-hot columns scanned -- dense scans 2 x Fmax (two matmuls over the
+    piece's full padded face axis), chunked scans mean_chunks x Fc (one
+    matmul per actual chunk; the alias triangle is inlined).  Measured on
+    the uniform-768-face bench set: chunked 0.59x dense at the production
+    row count (0.68 vs 1.16 ms/call, K=240) at 2x the table bytes; skewed
+    real fracture sets tilt further toward chunked on BOTH axes (dense
+    pads every piece to the global max face count)."""
     paths = list(dict.fromkeys(paths))  # stable unique order
     if not paths:
         return None
@@ -138,7 +148,23 @@ def build_device_tables(paths, sampler, put=None,
     slot_of = {p: i for i, p in enumerate(paths)}
     put = put or jax.device_put
 
-    if layout in (None, 'dense'):
+    if layout is None:
+        fmax_a = fmax if fmax is not None else \
+            max(128, _round_up(max(counts), 128))
+        dense_fits = max(counts) <= fmax_a and \
+            n_pieces * _N_ROWS * fmax_a * 4 <= budget_bytes
+        nch_a = [max(1, -(-f // chunk_f)) for f in counts]
+        chunk_fits = sum(nch_a) * _N_ROWS_C * chunk_f * 4 <= budget_bytes
+        dense_cols = 2 * fmax_a                          # two matmuls/row
+        chunk_cols = sum(nch_a) / n_pieces * chunk_f     # one per chunk
+        if dense_fits and (not chunk_fits or dense_cols <= chunk_cols):
+            layout = 'dense'
+        elif chunk_fits:
+            layout = 'chunked'
+        else:
+            return None
+
+    if layout == 'dense':
         fmax_d = fmax if fmax is not None else \
             max(128, _round_up(max(counts), 128))
         if max(counts) <= fmax_d and \
@@ -152,8 +178,7 @@ def build_device_tables(paths, sampler, put=None,
             return DeviceTables(put(jnp.asarray(table)),
                                 put(jnp.asarray(counts, jnp.int32)),
                                 slot_of, fmax_d)
-        if layout == 'dense':
-            return None
+        return None
 
     # chunked: memory ~ sum(ceil(F_i / chunk_f)) * 24 * chunk_f
     nch = [max(1, -(-f // chunk_f)) for f in counts]

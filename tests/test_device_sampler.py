@@ -145,8 +145,10 @@ def test_chunked_matches_dense(tmp_path):
 
 
 def test_chunked_budget_auto(tmp_path):
-    """layout=None auto-picks: dense when it fits, else chunked (memory ~
-    total faces, not n_pieces x Fmax), else None."""
+    """layout=None auto-picks by measured kernel cost among the layouts
+    that fit the budget (cols scanned per row: dense 2 x Fmax, chunked
+    mean_chunks x Fc -- calibrated in scripts/bench_chunked_sampler.py),
+    else None."""
     s = MeshSampler()
     paths = []
     for i, nf in enumerate([600, 20, 20, 20]):
@@ -155,14 +157,30 @@ def test_chunked_budget_auto(tmp_path):
         paths.append(p)
     # dense needs 4 pieces x 16 x 640 x 4 = 163840 B; chunked at Fc=128
     # needs (5+1+1+1) x 24 x 128 x 4 = 98304 B
+    # both fit, but the skew makes chunked far cheaper on-chip: dense
+    # scans 2 x 640 cols/row, chunked mean 2 x 128 -> chunked
     t = dsmp.build_device_tables(paths, s, budget_bytes=200_000,
                                  chunk_f=128)
-    assert t.table.shape[1] == dsmp._N_ROWS  # dense fits -> dense
+    assert t.table.shape[1] == dsmp._N_ROWS_C
     t = dsmp.build_device_tables(paths, s, budget_bytes=120_000,
                                  chunk_f=128)
     assert t.table.shape[1] == dsmp._N_ROWS_C  # only chunked fits
     assert dsmp.build_device_tables(paths, s, budget_bytes=50_000,
                                     chunk_f=128) is None
+    # uniform small pieces at the default Fc: dense scans fewer cols
+    # (2 x 128 vs 1 x 512) AND is smaller -> dense
+    small = paths[1:]
+    t = dsmp.build_device_tables(small, s, budget_bytes=250_000)
+    assert t.table.shape[1] == dsmp._N_ROWS
+    # dense over budget but chunked (~ total faces) within it -> chunked
+    # even though dense would scan fewer cols
+    big = str(tmp_path / 'soup_big.obj')
+    _write_soup(big, 1200, seed=20)
+    skew = small + [big]
+    # dense: 4 x 16 x 1280 x 4 = 327680 B; chunked Fc=512:
+    # (1+1+1+3) x 24 x 512 x 4 = 294912 B
+    t = dsmp.build_device_tables(skew, s, budget_bytes=300_000)
+    assert t.table.shape[1] == dsmp._N_ROWS_C
 
 
 def test_chunked_slot_wire_integration(bb_tree):

@@ -111,6 +111,33 @@ def test_sharded_slot_wire_matches_per_shard_sampling(bb_tree):
         host['part_counts'][2, 0] != host['part_counts'][3, 0]
 
 
+def test_sharded_slot_wire_chunked_matches_dense(bb_tree):
+    """The chunked table layout rides the multi-device slot wire too, and
+    lands bit-identical dense batches (same draws: the chunked kernel is
+    draw-equivalent to dense, test_device_sampler pins the kernels; this
+    pins the [D, Kpad] wire integration)."""
+    cfg = _cfg()
+    mesh = make_mesh(jax.devices(), batch_size=4)
+    loader = _loader(bb_tree)
+    configure_wire_shards(loader, mesh)
+    outs = {}
+    for layout in ('dense', 'chunked'):
+        loader.dataset._device_tables = None
+        tables = enable_device_sampling(loader, cfg, mesh=mesh,
+                                        layout=layout)
+        assert tables is not None
+        expect = dsmp._N_ROWS if layout == 'dense' else dsmp._N_ROWS_C
+        assert tables.table.shape[1] == expect
+        loader.set_epoch(0)
+        host = next(iter(loader))
+        assert host['part_slots__packed'].shape[0] == 4
+        batch, bs = _prep_batch(host, cfg, mesh, jax.random.PRNGKey(0),
+                                augment=False)
+        assert bs == 3
+        outs[layout] = np.asarray(batch['part_pcs_raw'])
+    np.testing.assert_array_equal(outs['dense'], outs['chunked'])
+
+
 def test_sharded_wire_has_no_collectives(bb_tree):
     """The fast wire must stay embarrassingly parallel over `data`: its
     executables carry no collectives, so producer threads may dispatch
