@@ -25,6 +25,17 @@ Design notes (TPU), in order of impact:
     tile ([Npad, gy*Npad] from a lane-packed VMEM scratch) -- same FLOPs,
     ~gy x fewer loop-iteration overheads (measured ~2us per fori_loop
     iteration at p=20).
+  - **Triangle-inequality tile pruning (exact)**: the forward visits a
+    scalar-prefetched (x-part, y-group) tile list built in XLA from
+    per-part centroids and radii -- a tile is dropped only when its
+    lower-bound distance |c_i - c_j| - r_i - r_j strictly exceeds the
+    upper bound min_k(|c_i - c_k| + r_i + r_k) of EVERY part it could
+    serve, so dropped tiles provably contain no point's nearest neighbor
+    (nor an exact tie).  Kept tiles run in ascending scan order: values,
+    witnesses, and the CUDA first-hit tie rule are bit-identical to the
+    unpruned kernel.  Assembled shapes (parts spread out) skip most
+    off-diagonal tiles; fully-overlapping clouds degrade gracefully to
+    the dense visit order (see `_forward_pairs`).
   - **Exact-witness backward, no scatter, no recompute**: the forward
     records each point's flat witness index (first hit in scan order, the
     CUDA tie rule); the backward builds scatter weights from a pure iota
@@ -54,7 +65,7 @@ except ImportError:  # pragma: no cover
     _HAS_PLTPU = False
 
 __all__ = ['chamfer_distance', 'nn_distance', 'chamfer_distance_ref',
-           'set_fused_mode']
+           'set_fused_mode', 'set_prune_mode']
 
 _PAD_VAL = 1e6  # padding coordinate: far from everything, no f32 overflow
 
@@ -454,13 +465,17 @@ def _finalize_parts(n_p, d1_ref, d2_ref, w1_ref, w2_ref, npad, max_parts):
     w2_ref[0, :, 0, :] = jnp.where(part_valid, w2_ref[0, :, 0, :], -1)
 
 
-def _fused_parts_fwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref,
+def _fused_parts_fwd_kernel(plist_ref, x_ref, y_ref, d1_ref, d2_ref,
                             w1_ref, w2_ref, yscr_ref, *, npad, max_parts,
                             gy):
     """Grid (B,).  x_ref/y_ref: [1, P, 48, Npad] split-packed bf16 parts
     (invalid parts pre-pushed to _PAD_VAL by the packing step, so no
     in-kernel validity masking is needed -- pad-coordinate distances are
     ~1e12 and never win a min against real points).
+    plist_ref[b] = [n_p, n_rel, pid_0, pid_1, ...] scalar-prefetched tile
+    list (pid = i * (P//gy) + c, ascending -- scan order preserved), built
+    by `_forward_pairs` with exact triangle-inequality pruning (or the
+    dense list when pruning is off).
     d1_ref/d2_ref: [1, P, 8, Npad] f32, row 0 = min squared distance.
     w1_ref/w2_ref: [1, P, 8, Npad] i32, row 0 = FLAT witness index into
     the other cloud viewed as [P*Npad] (first hit in scan order, exactly
@@ -472,7 +487,8 @@ def _fused_parts_fwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref,
     [Npad, gy*Npad] MXU tile instead of gy small ones (amortizes the ~2us
     per-loop-iteration overhead)."""
     b = pl.program_id(0)
-    n_p = nparts_ref[b]
+    n_p = plist_ref[b, 0]
+    n_rel = plist_ref[b, 1]
     BIG = jnp.float32(1e30)
 
     d1_ref[0, :, 0, :] = jnp.full((max_parts, npad), BIG, jnp.float32)
@@ -484,11 +500,12 @@ def _fused_parts_fwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref,
         yscr_ref[c0] = jnp.concatenate(
             [y_ref[0, c0 * gy + r] for r in range(gy)], axis=1)
 
-    n_groups = (n_p + gy - 1) // gy
+    n_groups = max_parts // gy
 
     def pair_body(k, _):
-        i = k // n_groups
-        c = k - i * n_groups
+        pid = plist_ref[b, 2 + k]
+        i = pid // n_groups
+        c = pid - i * n_groups
         x48 = x_ref[0, i]  # [48, Npad] bf16 split-packed
         # one bf16 MXU pass = full |x - y|^2 in f32 accuracy (see _pack_x48)
         # for gy parts at once
@@ -517,7 +534,7 @@ def _fused_parts_fwd_kernel(nparts_ref, x_ref, y_ref, d1_ref, d2_ref,
                 take2, am[r * npad:(r + 1) * npad], w2_ref[0, j, 0, :])
         return 0
 
-    jax.lax.fori_loop(0, n_p * n_groups, pair_body, 0)
+    jax.lax.fori_loop(0, n_rel, pair_body, 0)
     _finalize_parts(n_p, d1_ref, d2_ref, w1_ref, w2_ref, npad, max_parts)
 
 
@@ -683,8 +700,85 @@ def _fused_diag_bwd_kernel(nparts_ref, x_ref, y_ref, w1_ref, w2_ref,
     jax.lax.fori_loop(0, n_p, pair_body, 0)
 
 
-def _fused_parts_fwd_pallas(x48, y48, n_parts, diagonal=False,
+def _tile_list(keep_tile, n_parts):
+    """[B, P, G] bool keep mask -> [B, 2 + P*G] i32 prefetch rows
+    [n_p, n_rel, pid...] with pids ascending (scan order)."""
+    B, P, G = keep_tile.shape
+    ntiles = P * G
+    relf = keep_tile.reshape(B, ntiles)
+    count = jnp.sum(relf, axis=1, dtype=jnp.int32)
+    ids = jnp.where(relf, jnp.arange(ntiles, dtype=jnp.int32), ntiles)
+    ids = jnp.sort(ids, axis=1).astype(jnp.int32)
+    return jnp.concatenate([n_parts.astype(jnp.int32)[:, None],
+                            count[:, None], ids], axis=1)
+
+
+def _dense_forward_pairs(n_parts, max_parts, gy):
+    """The unpruned forward tile list: every (i < n_p, c < ceil(n_p/gy))."""
+    G = max_parts // gy
+    vi = jnp.arange(max_parts)[None, :, None] < n_parts[:, None, None]
+    vc = jnp.arange(G)[None, None, :] < \
+        ((n_parts + gy - 1) // gy)[:, None, None]
+    return _tile_list(vi & vc, n_parts)
+
+
+def _forward_pairs(x, y, n_parts, max_parts, gy):
+    """Exact triangle-inequality forward tile list (runs in XLA).
+
+    For every point p of x-part i, its final NN distance into y is bounded
+    above by ub1_i = min over valid j of (|c_i - c_j| + r_i + r_j), and
+    every distance from part i into y-part j is bounded below by
+    lb_ij = |c_i - c_j| - r_i - r_j.  A tile (i, group c) is dropped only
+    when lb_ij > ub1_i AND lb_ij > ub2_j for EVERY j in the group (ub2 is
+    the symmetric y-side bound), so a dropped tile's distances all exceed
+    the final min of every point it could serve -- it can neither win nor
+    tie, and the kept tiles (ascending pid) preserve the first-hit scan
+    order exactly.  The argmin-j tile is always kept (lb <= ub for the
+    same pair), so every valid part keeps at least one tile.  A relative
+    slack guards the fp error of the centroid/radius reduction.
+
+    Args:
+        x, y: [B, P, N, 3] f32 part clouds (invalid parts may hold any
+            values -- they are masked by n_parts)
+        n_parts: [B] i32 valid-prefix counts
+
+    Returns:
+        [B, 2 + P*(P//gy)] i32 rows [n_p, n_rel, pid...].
+    """
+    B, P = x.shape[:2]
+    c1 = jnp.mean(x, axis=2)  # [B, P, 3]
+    c2 = jnp.mean(y, axis=2)
+    r1 = jnp.sqrt(jnp.max(jnp.sum(
+        (x - c1[:, :, None]) ** 2, axis=-1), axis=2))  # [B, P]
+    r2 = jnp.sqrt(jnp.max(jnp.sum(
+        (y - c2[:, :, None]) ** 2, axis=-1), axis=2))
+    D = jnp.sqrt(jnp.sum(
+        (c1[:, :, None] - c2[:, None, :]) ** 2, axis=-1))  # [B, Pi, Pj]
+    rsum = r1[:, :, None] + r2[:, None, :]
+    vi = jnp.arange(P)[None, :] < n_parts[:, None]
+    pair_valid = vi[:, :, None] & vi[:, None, :]
+    ub = jnp.where(pair_valid, D + rsum, jnp.inf)
+    # relative fp-slack: centroid/radius reductions are ~1e-7-relative
+    # accurate; 1e-4 of the pair scale can only make pruning conservative
+    lb = jnp.maximum(D - rsum - 1e-4 * (D + rsum), 0.0)
+    lb = jnp.where(pair_valid, lb, jnp.inf)
+    ub1 = jnp.min(ub, axis=2)  # [B, Pi] upper bound on part i's max-min
+    ub2 = jnp.min(ub, axis=1)  # [B, Pj]
+    # pair_valid mask: invalid pairs carry lb = ub = inf and inf <= inf
+    # is True -- without it every invalid part's tiles would be kept
+    keep = pair_valid & ((lb <= ub1[:, :, None]) | (lb <= ub2[:, None, :]))
+    G = P // gy
+    keep_tile = jnp.any(keep.reshape(B, P, G, gy), axis=3)
+    # only the groups the dense kernel would visit (c < ceil(n_p/gy))
+    keep_tile &= jnp.arange(G)[None, None, :] < \
+        ((n_parts + gy - 1) // gy)[:, None, None]
+    return _tile_list(keep_tile, n_parts)
+
+
+def _fused_parts_fwd_pallas(x48, y48, prefetch, diagonal=False,
                             interpret=False):
+    """prefetch: [B] n_parts (diagonal) or a [B, 2+P*G] forward tile list
+    from `_forward_pairs` / `_dense_forward_pairs` (whole-shape mode)."""
     B, P, _, npad = x48.shape
     kwargs = {} if interpret else {
         'compiler_params': pltpu.CompilerParams(
@@ -695,6 +789,7 @@ def _fused_parts_fwd_pallas(x48, y48, n_parts, diagonal=False,
         scratch = []
     else:
         gy = _pick_gy(P, npad)
+        assert prefetch.ndim == 2, 'whole-shape mode takes a tile list'
         kernel = functools.partial(
             _fused_parts_fwd_kernel, npad=npad, max_parts=P, gy=gy)
         scratch = [pltpu.VMEM((P // gy, 48, gy * npad), jnp.bfloat16)]
@@ -720,7 +815,7 @@ def _fused_parts_fwd_pallas(x48, y48, n_parts, diagonal=False,
         ],
         interpret=interpret,
         **kwargs,
-    )(n_parts.astype(jnp.int32), x48, y48)
+    )(prefetch.astype(jnp.int32), x48, y48)
     return d1, d2, w1, w2
 
 
@@ -842,12 +937,23 @@ def chamfer_parts(part_pcs1, part_pcs2, valids):
 # back to jnp.
 _FUSED_MODE = os.environ.get('MPA_CHAMFER_FUSED', 'auto')
 
+# Triangle-inequality forward tile pruning (exact -- see _forward_pairs).
+# On by default; MPA_CHAMFER_PRUNE=0 forces the dense tile list (A/B
+# benchmarking; results are identical either way).
+_PRUNE_MODE = os.environ.get('MPA_CHAMFER_PRUNE', '1') != '0'
+
 
 def set_fused_mode(mode):
     """Set fused-kernel dispatch: 'auto' | 'force' | 'off' (test hook)."""
     global _FUSED_MODE
     assert mode in ('auto', 'force', 'off'), mode
     _FUSED_MODE = mode
+
+
+def set_prune_mode(on):
+    """Toggle exact forward tile pruning (test/bench hook)."""
+    global _PRUNE_MODE
+    _PRUNE_MODE = bool(on)
 
 
 def _on_tpu():
@@ -892,8 +998,16 @@ def _make_parts_core(diagonal):
             x2 = jnp.where(ok, xyz2.astype(jnp.float32), _PAD_VAL)
             x48 = _pack_x48(_aug_x(x1, npad))
             y48 = _pack_y48(_aug_y(x2, npad))
+            if diagonal:
+                prefetch = n_parts
+            elif _PRUNE_MODE:
+                prefetch = _forward_pairs(x1, x2, n_parts, P,
+                                          _pick_gy(P, npad))
+            else:
+                prefetch = _dense_forward_pairs(n_parts, P,
+                                                _pick_gy(P, npad))
             d1e, d2e, w1e, w2e = _fused_parts_fwd_pallas(
-                x48, y48, n_parts, diagonal=diagonal,
+                x48, y48, prefetch, diagonal=diagonal,
                 interpret=_fused_interpret())
             # the backward needs only the packs, witness indices and part
             # counts (exact-witness scatter; no distance recompute)

@@ -59,16 +59,42 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--iters-chain', type=int, default=8)
     ap.add_argument('--batch', type=int, default=32)
+    ap.add_argument('--scenario', default='overlap',
+                    choices=['overlap', 'assembled', 'init'],
+                    help='overlap: clouds fully interpenetrate (prune '
+                         'worst case). assembled: both clouds are spread '
+                         'unit shapes with small parts, pred ~ GT '
+                         '(converged training). init: pred parts piled at '
+                         'the origin vs an assembled GT (fresh model).')
+    ap.add_argument('--no-prune', action='store_true',
+                    help='force the dense forward tile list (A/B)')
     args = ap.parse_args()
 
     from multi_part_assembly_tpu.ops import chamfer as C
+    if args.no_prune:
+        C.set_prune_mode(False)
 
     B, P, N = args.batch, 20, 1000
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((B, P, N, 3)), jnp.float32)
-    # overlapping clouds: witness links cross parts freely (the worst case
-    # for the backward's pair list; realistic for early training)
-    y = jnp.asarray(rng.standard_normal((B, P, N, 3)), jnp.float32)
+    if args.scenario == 'overlap':
+        # overlapping clouds: witness links cross parts freely (the worst
+        # case for the backward's pair list AND forward pruning)
+        x = jnp.asarray(rng.standard_normal((B, P, N, 3)), jnp.float32)
+        y = jnp.asarray(rng.standard_normal((B, P, N, 3)), jnp.float32)
+    else:
+        # unit-scale object fractured into P parts of radius ~0.15 with
+        # centers spread in the unit box (the Breaking-Bad regime)
+        centers = rng.uniform(-0.5, 0.5, (B, P, 1, 3)).astype(np.float32)
+        pts = 0.15 * rng.standard_normal((B, P, N, 3)).astype(np.float32)
+        ynp = centers + pts
+        if args.scenario == 'assembled':
+            # pred within ~0.05 of GT: late-training shape_cd inputs
+            xnp = ynp + 0.05 * rng.standard_normal(
+                (B, P, N, 3)).astype(np.float32)
+        else:  # init: untrained pred poses leave every part near 0
+            xnp = pts + 0.02 * rng.standard_normal(
+                (B, P, 1, 3)).astype(np.float32)
+        x, y = jnp.asarray(xnp), jnp.asarray(ynp)
 
     def fwd_chain(k, diag=False):
         @jax.jit
@@ -119,6 +145,7 @@ def main():
         'backend': jax.default_backend(),
         'device': jax.devices()[0].device_kind,
         'B': B, 'P': P, 'N': N,
+        'scenario': args.scenario, 'prune': not args.no_prune,
         'results': results,
     }))
 

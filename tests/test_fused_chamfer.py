@@ -201,7 +201,7 @@ def test_relevant_pairs_list(rng):
     x48 = C._pack_x48(C._aug_x(jnp.where(ok, x, C._PAD_VAL), npad))
     y48 = C._pack_y48(C._aug_y(jnp.where(ok, y, C._PAD_VAL), npad))
     d1, d2, w1, w2 = C._fused_parts_fwd_pallas(
-        x48, y48, n_parts, interpret=True)
+        x48, y48, C._dense_forward_pairs(n_parts, P, gy), interpret=True)
     plist = np.asarray(C._relevant_pairs(w1, w2, N, P, npad, gy))
     win1 = np.asarray(w1)[:, :, 0, :N]  # flat idx into y [P*npad]
     win2 = np.asarray(w2)[:, :, 0, :N]  # flat idx into x [P*npad]
@@ -222,6 +222,102 @@ def test_relevant_pairs_list(rng):
         assert (win1[b, n_b:] == -1).all() and (win2[b, n_b:] == -1).all()
         for pid in got:
             assert pid // n_groups < n_b
+
+
+def _assembled(rng, B, P, N, nparts, spread=1.0):
+    """Separated-part fixture: part i of BOTH clouds is a 0.1-scale cloud
+    near i*spread on the x axis (the assembled-shape regime where
+    triangle-inequality pruning bites: distant tiles are provably
+    irrelevant).  Kept unit-ish scale: the split-packed distance matmul's
+    ~2^-24 RELATIVE accuracy on |coord|^2 terms turns into absolute error
+    at large coordinates (as does the fallback's own cancellation)."""
+    x = 0.1 * rng.randn(B, P, N, 3).astype(np.float32)
+    y = 0.1 * rng.randn(B, P, N, 3).astype(np.float32)
+    off = (np.arange(P) * spread).astype(np.float32)
+    x[..., 0] += off[None, :, None]
+    y[..., 0] += off[None, :, None]
+    valids = (np.arange(P)[None] <
+              np.asarray(nparts)[:, None]).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(y), jnp.asarray(valids)
+
+
+@pytest.mark.parametrize('nparts', [[10, 7], [10, 10]])
+def test_pruned_fwd_bwd_exact_on_assembled_parts(rng, nparts):
+    """Tile pruning must be invisible in values AND gradients: separated
+    parts (max pruning) against the jnp fallback."""
+    B, P, N = 2, 10, 40
+    x, y, valids = _assembled(rng, B, P, N, nparts)
+    n_parts = jnp.sum(valids.astype(jnp.int32), axis=1)
+    gy = C._pick_gy(P, C._round_up(N, 128))
+    plist = np.asarray(C._forward_pairs(x, y, n_parts, P, gy))
+    dense = np.asarray(C._dense_forward_pairs(n_parts, P, gy))
+    assert (plist[:, 1] < dense[:, 1]).all(), 'no tiles were pruned'
+    # every valid part keeps at least one tile (else its row stays BIG)
+    G = P // gy
+    for b in range(B):
+        pids = plist[b, 2:2 + plist[b, 1]]
+        assert set(pids // G) == set(range(int(n_parts[b])))
+
+    pv = jnp.repeat(valids, N, axis=1)
+    w1 = jnp.asarray(rng.rand(B, P * N).astype(np.float32))
+    w2 = jnp.asarray(rng.rand(B, P * N).astype(np.float32))
+
+    def loss(a, b):
+        da, db = C.chamfer_parts(a, b, valids)
+        return jnp.sum(da * pv * w1) + jnp.sum(db * pv * w2)
+
+    d1, d2 = C.chamfer_parts(x, y, valids)
+    gx_f, gy_f = jax.grad(loss, (0, 1))(x, y)
+    C.set_fused_mode('off')
+    r1, r2 = C.chamfer_parts(x, y, valids)
+    gx_r, gy_r = jax.grad(loss, (0, 1))(x, y)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(r1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(r2), atol=1e-4)
+    scale = float(jnp.max(jnp.abs(gx_r)))
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=2e-3 * scale)
+    np.testing.assert_allclose(np.asarray(gy_f), np.asarray(gy_r),
+                               atol=2e-3 * scale)
+
+
+def test_prune_on_off_bit_identical(rng):
+    """Pruned and dense tile lists yield bit-identical distances,
+    witnesses, and gradients (pruning only removes provably-dead work)."""
+    B, P, N = 2, 10, 40
+    x, y, valids = _assembled(rng, B, P, N, [10, 6], spread=0.6)
+    pv = jnp.repeat(valids, N, axis=1)
+
+    def run():
+        def loss(a, b):
+            da, db = C.chamfer_parts(a, b, valids)
+            return jnp.sum(da * pv) + 0.5 * jnp.sum(db * pv)
+        d1, d2 = C.chamfer_parts(x, y, valids)
+        gx, gyy = jax.grad(loss, (0, 1))(x, y)
+        return [np.asarray(v) for v in (d1, d2, gx, gyy)]
+
+    C.set_prune_mode(True)
+    pruned = run()
+    C.set_prune_mode(False)
+    try:
+        dense = run()
+    finally:
+        C.set_prune_mode(True)
+    for a, b in zip(pruned, dense):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_pruning_keeps_overlapping_clouds_dense(rng):
+    """Fully-overlapping random clouds (the worst case) must degrade to
+    (nearly) the dense visit set -- and stay exact (covered by the other
+    tests on the same fixture)."""
+    B, P, N = 2, 10, 32
+    x, y, valids = _mix(rng, B, P, N, [10, 10])
+    n_parts = jnp.sum(valids.astype(jnp.int32), axis=1)
+    gy = C._pick_gy(P, C._round_up(N, 128))
+    plist = np.asarray(C._forward_pairs(x, y, n_parts, P, gy))
+    dense = np.asarray(C._dense_forward_pairs(n_parts, P, gy))
+    # radii of N(0,1) clouds overlap completely: nothing is prunable
+    np.testing.assert_array_equal(plist, dense)
 
 
 def test_fused_dispatch_flag():
