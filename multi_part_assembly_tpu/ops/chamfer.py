@@ -444,7 +444,13 @@ def _pack_y48(aug):
 def _pick_gy(max_parts, npad):
     """Y-group width for the fused forward: the largest divisor of P (<= 8)
     whose [Npad, gy*Npad] f32 tile fits a ~24MB VMEM budget.  Grouping
-    amortizes the ~2us per-loop-iteration overhead over one big MXU tile."""
+    amortizes the ~2us per-loop-iteration overhead over one big MXU tile.
+    MPA_CHAMFER_GY overrides (bench knob; must divide P and fit VMEM)."""
+    env = os.environ.get('MPA_CHAMFER_GY')
+    if env:
+        g = int(env)
+        if max_parts % g == 0:
+            return g
     budget = 24 * 1024 * 1024
     best = 1
     for g in range(1, min(max_parts, 8) + 1):

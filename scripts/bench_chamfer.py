@@ -82,10 +82,14 @@ def main():
         x = jnp.asarray(rng.standard_normal((B, P, N, 3)), jnp.float32)
         y = jnp.asarray(rng.standard_normal((B, P, N, 3)), jnp.float32)
     else:
-        # unit-scale object fractured into P parts of radius ~0.15 with
-        # centers spread in the unit box (the Breaking-Bad regime)
+        # unit-scale object fractured into P COMPACT parts (uniform cube,
+        # half-extent 0.15 -> bounded radius <=0.26 like real mesh
+        # fragments; a Gaussian's max-of-1000 tail radius ~0.6 would make
+        # every pair's radius sum exceed the center spread and defeat the
+        # centroid/radius prune bound) with centers spread in the unit box
+        # (the Breaking-Bad regime)
         centers = rng.uniform(-0.5, 0.5, (B, P, 1, 3)).astype(np.float32)
-        pts = 0.15 * rng.standard_normal((B, P, N, 3)).astype(np.float32)
+        pts = 0.15 * rng.uniform(-1, 1, (B, P, N, 3)).astype(np.float32)
         ynp = centers + pts
         if args.scenario == 'assembled':
             # pred within ~0.05 of GT: late-training shape_cd inputs
