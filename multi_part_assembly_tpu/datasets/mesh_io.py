@@ -72,6 +72,13 @@ def _get_lib():
                                                  ctypes.c_char_p]
         except AttributeError:
             pass
+        try:  # threaded cached batch load (round-5 .so builds onward)
+            lib.mpa_load_mesh_cached_batch.restype = ctypes.c_int
+            lib.mpa_load_mesh_cached_batch.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
+        except AttributeError:
+            pass
         try:  # device-sampler table export (round-3 .so builds onward)
             lib.mpa_export_tables.restype = ctypes.c_int64
             lib.mpa_export_tables.argtypes = [
@@ -245,6 +252,43 @@ class MeshSampler:
                 self._np_cache[path] = load_obj_numpy(path)
         return path
 
+    def load_batch(self, paths):
+        """Cache many meshes in ONE threaded native call.
+
+        A cold (evicted) registry re-loads O(batch * parts) sidecars per
+        batch; a Python loop of per-mesh `load` calls serializes that IO
+        on the producer thread (the measured cold-cache bench bottleneck).
+        Here the misses ride one `mpa_load_mesh_cached_batch` call that
+        threads over meshes with the GIL released.  Falls back to the
+        sequential path for older .so builds / the numpy sampler."""
+        missing = [p for p in dict.fromkeys(paths)
+                   if (p not in self._handles if self._lib is not None
+                       else p not in self._np_cache)]
+        if not missing:
+            return
+        if (self._lib is None or len(missing) == 1
+                or not hasattr(self._lib, 'mpa_load_mesh_cached_batch')):
+            for p in missing:
+                self.load(p)
+            return
+        cpaths = [(mesh_cache_path(p) or '') for p in missing]
+        pbuf = b'\0'.join(p.encode() for p in missing) + b'\0'
+        cbuf = b'\0'.join(c.encode() for c in cpaths) + b'\0'
+        handles = np.zeros(len(missing), np.int64)
+        rc = self._lib.mpa_load_mesh_cached_batch(
+            pbuf, cbuf, len(missing),
+            handles.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self._n_threads)
+        if rc != 0:
+            bad = missing[-rc - 1]
+            # free the ones that did load before raising
+            for p, h in zip(missing, handles):
+                if h:
+                    self._lib.mpa_free_mesh(int(h))
+            raise IOError(f'failed to load mesh {bad}')
+        for p, h in zip(missing, handles):
+            self._handles[p] = int(h)
+
     def sample(self, path, n_points, seed):
         """Sample one cached mesh -> [n_points, 3] float32."""
         self.load(path)
@@ -280,7 +324,8 @@ class MeshSampler:
                 f"contiguous={out.flags['C_CONTIGUOUS']}")
         f16 = out.dtype == np.float16
         if self._lib is not None:
-            handles = np.asarray([self._handles[self.load(p)] for p in paths],
+            self.load_batch(paths)  # threaded cached (re)load of misses
+            handles = np.asarray([self._handles[p] for p in paths],
                                  np.int64)
             seeds = np.asarray(seeds, np.uint64)
             if f16:

@@ -383,38 +383,93 @@ int64_t mpa_load_mesh(const char *path) {
   return h;
 }
 
-// Like mpa_load_mesh, but backed by a persistent sidecar at `cache_path`:
-// a valid cache skips parse + table build; a miss/stale cache parses and
-// (best-effort) writes the sidecar for the next cold load.  Returns
-// handle > 0, or 0 on failure.
-int64_t mpa_load_mesh_cached(const char *path, const char *cache_path) {
+// Shared sidecar-backed load: returns an owned Mesh* (not yet in the
+// registry), or nullptr on failure.
+static Mesh *load_cached_impl(const char *path, const char *cache_path) {
   uint64_t src_size = 0, src_mtime_ns = 0;
   bool have_stat = src_stat(path, &src_size, &src_mtime_ns);
   bool use_cache = have_stat && cache_path && cache_path[0];
   Mesh *mesh = new Mesh();
   if (use_cache &&
       load_mesh_cache(cache_path, src_size, src_mtime_ns, mesh)) {
-    int64_t h = g_next_handle.fetch_add(1);
-    std::lock_guard<std::mutex> lk(g_registry_mu);
-    g_registry[h] = mesh;
-    return h;
+    return mesh;
   }
   delete mesh;  // may be partially filled by a truncated cache read
   mesh = new Mesh();
   if (!parse_obj(path, mesh)) {
     delete mesh;
-    return 0;
+    return nullptr;
   }
   build_areas(mesh);
   if (mesh->total_area <= 0.0) {
     delete mesh;
-    return 0;
+    return nullptr;
   }
   if (use_cache) write_mesh_cache(cache_path, src_size, src_mtime_ns, *mesh);
+  return mesh;
+}
+
+static int64_t register_mesh(Mesh *mesh) {
   int64_t h = g_next_handle.fetch_add(1);
   std::lock_guard<std::mutex> lk(g_registry_mu);
   g_registry[h] = mesh;
   return h;
+}
+
+// Like mpa_load_mesh, but backed by a persistent sidecar at `cache_path`:
+// a valid cache skips parse + table build; a miss/stale cache parses and
+// (best-effort) writes the sidecar for the next cold load.  Returns
+// handle > 0, or 0 on failure.
+int64_t mpa_load_mesh_cached(const char *path, const char *cache_path) {
+  Mesh *mesh = load_cached_impl(path, cache_path);
+  return mesh ? register_mesh(mesh) : 0;
+}
+
+// Threaded batch variant of mpa_load_mesh_cached: the cold-registry
+// reload path loads O(batch * parts) sidecars per batch, and a Python
+// loop of per-mesh ctypes calls serializes the file IO on the producer
+// thread (measured as the cold-cache bench bottleneck, ROADMAP r5).
+// paths / cache_paths: n_meshes C strings each, '\0'-separated (an empty
+// cache path disables the sidecar for that mesh).  handles[i] receives
+// the mesh handle, or 0 on failure.  Returns 0, or -(i+1) for the last
+// failed mesh.
+int mpa_load_mesh_cached_batch(const char *paths, const char *cache_paths,
+                               int n_meshes, int64_t *handles,
+                               int n_threads) {
+  std::vector<const char *> pptr(n_meshes), cptr(n_meshes);
+  const char *p = paths;
+  const char *c = cache_paths;
+  for (int i = 0; i < n_meshes; ++i) {
+    pptr[i] = p;
+    p += std::strlen(p) + 1;
+    cptr[i] = c;
+    c += std::strlen(c) + 1;
+  }
+  std::atomic<int> next{0};
+  std::atomic<int> err{0};
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n_meshes) break;
+      Mesh *mesh = load_cached_impl(pptr[i], cptr[i]);
+      if (!mesh) {
+        handles[i] = 0;
+        err.store(-(i + 1));
+        continue;
+      }
+      handles[i] = register_mesh(mesh);
+    }
+  };
+  int nt = std::max(1, std::min(n_threads, n_meshes));
+  if (nt == 1) {
+    worker();
+    return err.load();
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto &th : threads) th.join();
+  return err.load();
 }
 
 void mpa_free_mesh(int64_t handle) {

@@ -441,6 +441,44 @@ def test_persistent_mesh_cache_roundtrip(tmp_path):
     s3.close()
 
 
+def test_load_batch_threaded(tmp_path):
+    """The threaded native batch load yields the SAME handles-backed
+    sample stream as sequential per-mesh loads, dedups repeated paths,
+    and raises on a missing file without leaking good handles."""
+    paths = []
+    for i in range(5):
+        p = str(tmp_path / f'cube{i}.obj')
+        _write_cube(p, scale=1.0 + 0.25 * i)
+        paths.append(p)
+
+    s = MeshSampler()
+    assert s.is_native
+    for p in paths:
+        s.load(p)
+    seq = [s.sample(p, 64, 3) for p in paths]
+    s.close()
+
+    s2 = MeshSampler()
+    s2.load_batch(paths + paths[:2])  # dupes must dedup, not double-load
+    assert all(p in s2._handles for p in paths)
+    for p, a in zip(paths, seq):
+        np.testing.assert_array_equal(s2.sample(p, 64, 3), a)
+    s2.close()
+
+    s3 = MeshSampler()
+    bad = paths[:2] + [str(tmp_path / 'missing.obj')] + paths[2:]
+    try:
+        s3.load_batch(bad)
+        raised = False
+    except IOError:
+        raised = True
+    assert raised
+    # good meshes are still individually loadable afterwards
+    s3.load_batch(paths)
+    np.testing.assert_array_equal(s3.sample(paths[0], 64, 3), seq[0])
+    s3.close()
+
+
 def test_mesh_cache_disable_env(tmp_path, monkeypatch):
     from multi_part_assembly_tpu.datasets.mesh_io import mesh_cache_path
     monkeypatch.setenv('MPA_MESH_CACHE', '0')
