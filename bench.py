@@ -327,12 +327,16 @@ def bench_one(name, spec, n_iters=50):
         # 1097.0; round 3: blocking every-2/lag-2 867 vs 732 no-kick)
         from multi_part_assembly_tpu.train.trainer import (ExecutionKicker,
                                                            Trainer)
-        kick_every = int(os.environ.get('MPA_BENCH_KICK')
-                         or Trainer.KICK_EVERY)
-        kick_lag = int(os.environ.get('MPA_BENCH_LAG') or Trainer.KICK_LAG)
-        thr_env = os.environ.get('MPA_BENCH_KICK_THREAD')
-        threaded = Trainer.KICK_THREADED if thr_env is None else \
-            thr_env not in ('', '0')
+        # uniform env parse for the three knobs: unset -> Trainer default,
+        # '' or '0' -> off/0, else int (ADVICE r4: MPA_BENCH_KICK used to
+        # treat '' as default while MPA_BENCH_KICK_THREAD treated it as off)
+        def _env_int(name, default):
+            v = os.environ.get(name)
+            return default if v is None else int(v or 0)
+        kick_every = _env_int('MPA_BENCH_KICK', Trainer.KICK_EVERY)
+        kick_lag = _env_int('MPA_BENCH_LAG', Trainer.KICK_LAG)
+        threaded = bool(_env_int('MPA_BENCH_KICK_THREAD',
+                                 Trainer.KICK_THREADED))
         kicker = ExecutionKicker(
             every=kick_every, lag=kick_lag, enabled=bool(kick_every),
             threaded=threaded)

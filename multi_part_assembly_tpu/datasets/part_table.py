@@ -99,12 +99,23 @@ def build_part_table(dataset, put=None, budget_bytes=4 << 30):
     return PartPointTable(table, slot_base, n_points)
 
 
-@jax.jit
-def gather_part_table(table, part_slots, part_valids):
-    """[T, 2*N*3] split-plane table + [B, P] slots -> [B, P, N, 3] f32.
+# Above this many table rows the one-hot contraction (whose FLOPs/bytes
+# scale linearly with TOTAL dataset parts T, not batch size) loses to a
+# plain row gather: at B*P=640, T=350k, N=1024 the matmul is ~2.7 TFLOP
+# (multiple ms) while the gather moves only B*P rows (~8MB).  Both paths
+# are bit-identical (a one-hot row has a single nonzero; a gather selects
+# the same bf16 planes -- the hi+lo sum happens in f32 either way).
+_ONEHOT_MAX_ROWS = int(__import__('os').environ.get(
+    'MPA_TABLE_ONEHOT_MAX', 8192))
 
-    One-hot bf16 matmul with f32 accumulation: exact f16 selection (see
-    module docstring).  Invalid slots (valids == 0) come out zero."""
+
+def _sum_planes(planes_f32, B, P):
+    half = planes_f32.shape[-1] // 2
+    pcs = planes_f32[:, :half] + planes_f32[:, half:]
+    return pcs.reshape(B, P, half // 3, 3)
+
+
+def _gather_onehot(table, part_slots, part_valids):
     T = table.shape[0]
     B, P = part_slots.shape
     onehot = (part_slots.reshape(B * P, 1) ==
@@ -113,9 +124,28 @@ def gather_part_table(table, part_slots, part_valids):
     planes = jax.lax.dot_general(
         onehot, table, (((1, ), (0, )), ((), ())),
         preferred_element_type=jnp.float32)  # [B*P, 2*N*3]
-    half = planes.shape[-1] // 2
-    pcs = planes[:, :half] + planes[:, half:]
-    return pcs.reshape(B, P, half // 3, 3)
+    return _sum_planes(planes, B, P)
+
+
+def _gather_rows(table, part_slots, part_valids):
+    B, P = part_slots.shape
+    rows = jnp.take(table, part_slots.reshape(B * P), axis=0)
+    planes = rows.astype(jnp.float32) * part_valids.reshape(B * P, 1)
+    return _sum_planes(planes, B, P)
+
+
+@jax.jit
+def gather_part_table(table, part_slots, part_valids):
+    """[T, 2*N*3] split-plane table + [B, P] slots -> [B, P, N, 3] f32.
+
+    Small tables: one-hot bf16 matmul with f32 accumulation -- exact f16
+    selection (see module docstring).  Large tables (> _ONEHOT_MAX_ROWS,
+    env MPA_TABLE_ONEHOT_MAX): bit-identical XLA row gather, whose cost is
+    bounded by the batch instead of the table.  Invalid slots (valids ==
+    0) come out zero."""
+    if table.shape[0] > _ONEHOT_MAX_ROWS:
+        return _gather_rows(table, part_slots, part_valids)
+    return _gather_onehot(table, part_slots, part_valids)
 
 
 @jax.jit

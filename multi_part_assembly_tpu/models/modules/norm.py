@@ -66,7 +66,14 @@ class MaskedBatchNorm(nn.Module):
 
         g = _BN_GROUPS if train and not self.is_initializing() else 1
         if g > 1 and x.shape[0] % g:
-            g = 1  # batch axis not divisible into shard groups: sync stats
+            # batch axis not divisible into shard groups: fall back to
+            # sync stats -- but say so, or sync_bn=False parity quietly
+            # does not apply (ADVICE r4)
+            import warnings
+            warnings.warn(
+                f'MaskedBatchNorm: leading axis {x.shape[0]} not divisible '
+                f'into {g} per-replica groups; using sync statistics')
+            g = 1
         if train and g > 1:
             # per-replica BN parity (module docstring): per-group moments
             # over [g, B0/g, ...] blocks of the leading (data-sharded) axis

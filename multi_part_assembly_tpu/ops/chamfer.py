@@ -446,12 +446,21 @@ def _pick_gy(max_parts, npad):
     whose [Npad, gy*Npad] f32 tile fits a ~24MB VMEM budget.  Grouping
     amortizes the ~2us per-loop-iteration overhead over one big MXU tile.
     MPA_CHAMFER_GY overrides (bench knob; must divide P and fit VMEM)."""
+    budget = 24 * 1024 * 1024
     env = os.environ.get('MPA_CHAMFER_GY')
     if env:
         g = int(env)
-        if max_parts % g == 0:
+        # validate against the SAME constraints as the auto pick: a
+        # non-divisor breaks the grid math and an over-budget tile fails
+        # at Mosaic compile (or silently degrades) -- warn and fall
+        # through to auto instead (ADVICE r4).
+        if max_parts % g == 0 and g * npad * npad * 4 <= budget:
             return g
-    budget = 24 * 1024 * 1024
+        import warnings
+        warnings.warn(
+            f'MPA_CHAMFER_GY={g} ignored: must divide max_parts='
+            f'{max_parts} and fit the {budget >> 20}MB VMEM budget '
+            f'(tile would be {g * npad * npad * 4 >> 20}MB)')
     best = 1
     for g in range(1, min(max_parts, 8) + 1):
         if max_parts % g == 0 and g * npad * npad * 4 <= budget:

@@ -120,6 +120,15 @@ def _pair_chamfer_cost(pts1, pts2):
     like the chamfer kernel's X48 packing, ops/chamfer.py:_pack_x48) --
     ~6x cheaper than the HIGHEST (6-pass) f32 einsum it replaces, and this
     runs per MoN sample per train step (bench_semantic 'cost').
+
+    Precision contract (ADVICE r4): the ~2^-24 relative error (plus
+    cancellation in x2 + y2 - 2xy for near-coincident points) can flip the
+    Hungarian assignment between NEAR-TIE parts relative to an exact f32
+    cost.  That is accepted by design: ties only arise between parts in
+    the same `match_ids` group, i.e. geometrically-equivalent ones, and
+    the downstream loss is invariant under permutations within a group
+    (the reference itself breaks such ties by scipy's arbitrary row
+    order, base_model.py:175).
     """
     from .chamfer import _split3
     x2 = jnp.sum(pts1 * pts1, axis=-1)  # [B, P, n]

@@ -940,3 +940,8 @@ class Trainer:
         self.logger.close()
         self.ckpt_mgr.wait_until_finished()
         self.ckpt_mgr.close()
+        # reset the process-global BN statistics scope so a later Trainer
+        # (or bare eval) in the same process doesn't inherit this run's
+        # per-replica grouping (ADVICE r4)
+        from ..models.modules.norm import set_bn_groups
+        set_bn_groups(1)

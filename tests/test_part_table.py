@@ -142,6 +142,27 @@ def test_gather_multi_matches_single(partnet_tree):
         np.testing.assert_array_equal(grouped[g], single)
 
 
+def test_gather_rows_bit_identical_to_onehot(partnet_tree):
+    """Large-table row-gather path == one-hot matmul path bit-for-bit
+    (both select the same bf16 planes; the hi+lo sum is f32 either way).
+    The row path bounds per-batch cost by B*P instead of the table size
+    (ADVICE r4 medium)."""
+    import jax.numpy as jnp
+
+    from multi_part_assembly_tpu.datasets.part_table import (_gather_onehot,
+                                                             _gather_rows)
+    ds = _make_ds(partnet_tree)
+    loader = DataLoader(ds, batch_size=3, shuffle=False, drop_last=False,
+                        num_workers=1, batch_collate=True)
+    table = enable_device_table(loader, object())
+    batch = ds.collate_batch([0, 1, 2])
+    slots = jnp.asarray(batch['part_slots'])
+    valids = jnp.asarray(batch['part_valids'])
+    a = np.asarray(_gather_onehot(table.table, slots, valids))
+    b = np.asarray(_gather_rows(table.table, slots, valids))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_budget_gate(partnet_tree):
     ds = _make_ds(partnet_tree)
     assert build_part_table(ds, budget_bytes=8) is None
