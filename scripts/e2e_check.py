@@ -132,10 +132,15 @@ def check_family(name, spec, args, data_dir):
         'exp.num_epochs', str(epochs),
         'exp.val_every', str(max(1, epochs // 4)),
         'exp.num_workers', '0',
-        'loss.sample_iter', '1',
         'loss.trans_loss_w', '10.',
         'exp.ckp_dir', os.path.join(work, 'cli_tmp'),
     ]
+    if not args.mon:
+        # default rows force MoN off so families converge on one CPU
+        # budget; --mon keeps the config's sample_iter/noise_dim (the
+        # reference semantic recipe: sample_iter=5, noise_dim=32,
+        # semantic_loss.py:13-22) to validate MoN training dynamics
+        opts += ['loss.sample_iter', '1']
     if spec.get('task') != 'semantic':
         # geometry-only knob (the partnet schema has no rot_range)
         opts += ['data.rot_range', '0.5']
@@ -215,6 +220,9 @@ def main():
                     choices=['all', 'geometry', 'semantic'],
                     help='restrict --matrix to one task type')
     ap.add_argument('--keep', action='store_true')
+    ap.add_argument('--mon', action='store_true',
+                    help='keep the config MoN settings (sample_iter/'
+                    'noise_dim) instead of forcing sample_iter=1')
     args = ap.parse_args()
 
     work = args.workdir or tempfile.mkdtemp(prefix='mpa_e2e_')

@@ -74,29 +74,38 @@ def write_box_obj(path, scale, offset, rng, detail=1):
 
 
 def generate(out_dir, n_shapes=16, min_parts=2, max_parts=4, seed=0,
-             category='Synth', same_val=True, detail=1):
+             category='Synth', same_val=True, detail=1, categories=None):
     """Build the tree; returns the data_dir to point cfg.data.data_dir at.
 
     same_val=True lists the identical shapes in the val split (overfit /
-    convergence checks); False holds out the last quarter."""
+    convergence checks); False holds out the last quarter (per category).
+    `categories` (list) writes a MULTI-category tree with n_shapes per
+    category -- the reference's per-category research workflow
+    (train_everyday_categories.sh, test.py --category all) needs the
+    split lists to mix categories the data_fn filter can select on
+    (reference geometry_data.py:60-63)."""
     rng = np.random.default_rng(seed)
-    lines = []
-    for s in range(n_shapes):
-        n_parts = int(rng.integers(min_parts, max_parts + 1))
-        frac = os.path.join(out_dir, category, f'obj{s:03d}', 'fractured_0')
-        os.makedirs(frac, exist_ok=True)
-        # distinct offsets so translations are learnable and unambiguous
-        offsets = rng.uniform(-0.4, 0.4, (n_parts, 3))
-        for p in range(n_parts):
-            scale = rng.uniform(0.08, 0.3, 3)
-            write_box_obj(os.path.join(frac, f'piece_{p}.obj'),
-                          scale, offsets[p], rng, detail=detail)
-        lines.append(f'{category}/obj{s:03d}')
-    if same_val:
-        train, val = lines, lines
-    else:
-        k = max(1, len(lines) // 4)
-        train, val = lines[:-k], lines[-k:]
+    train, val = [], []
+    for cat in (categories or [category]):
+        lines = []
+        for s in range(n_shapes):
+            n_parts = int(rng.integers(min_parts, max_parts + 1))
+            frac = os.path.join(out_dir, cat, f'obj{s:03d}', 'fractured_0')
+            os.makedirs(frac, exist_ok=True)
+            # distinct offsets so translations are learnable and unambiguous
+            offsets = rng.uniform(-0.4, 0.4, (n_parts, 3))
+            for p in range(n_parts):
+                scale = rng.uniform(0.08, 0.3, 3)
+                write_box_obj(os.path.join(frac, f'piece_{p}.obj'),
+                              scale, offsets[p], rng, detail=detail)
+            lines.append(f'{cat}/obj{s:03d}')
+        if same_val:
+            train += lines
+            val += lines
+        else:
+            k = max(1, len(lines) // 4)
+            train += lines[:-k]
+            val += lines[-k:]
     with open(os.path.join(out_dir, 'everyday.train.txt'), 'w') as f:
         f.write('\n'.join(train) + '\n')
     with open(os.path.join(out_dir, 'everyday.val.txt'), 'w') as f:
@@ -181,6 +190,11 @@ def main():
                     default='geometry')
     ap.add_argument('--num_points', type=int, default=1000,
                     help='points per part (partnet format only)')
+    ap.add_argument('--categories', type=str, default='',
+                    help='comma list -> multi-category tree, n_shapes per '
+                    'category (geometry format only)')
+    ap.add_argument('--detail', type=int, default=1,
+                    help='faces-per-piece multiplier (6*detail^2 quads)')
     args = ap.parse_args()
     if args.format == 'partnet':
         generate_partnet(args.out, args.n_shapes, args.min_parts,
@@ -188,8 +202,10 @@ def main():
                          same_val=not args.holdout_val)
         print(f'synthetic PartNet tree written to {args.out}')
     else:
+        cats = [c for c in args.categories.split(',') if c] or None
         generate(args.out, args.n_shapes, args.min_parts, args.max_parts,
-                 args.seed, same_val=not args.holdout_val)
+                 args.seed, same_val=not args.holdout_val,
+                 detail=args.detail, categories=cats)
         print(f'synthetic Breaking-Bad tree written to {args.out}')
 
 

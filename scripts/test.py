@@ -16,6 +16,22 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _resolve_weight(path):
+    """Accept a checkpoint STEP dir, a run dir, or a run dir's models/:
+    run dirs resolve to the newest step (reference test.py builds the
+    exact model path by string substitution; resolving here makes
+    `--weight checkpoint/run-{}-dup1` work for `--category all` sweeps
+    where the best step differs per category)."""
+    if not path or os.path.basename(path.rstrip('/')).isdigit():
+        return path
+    from collect_test import find_last_ckp
+    for cand in (path, os.path.dirname(path.rstrip('/'))):
+        ckp = find_last_ckp(cand)
+        if ckp:
+            return ckp
+    return path
+
+
 def _test_one(cfg, weight):
     from multi_part_assembly_tpu.train.trainer import Trainer
     trainer = Trainer(cfg, ckp_dir=os.path.join(
@@ -54,7 +70,7 @@ def main():
         if args.category:
             cfg.data.category = args.category
         cfg.freeze()
-        _test_one(cfg, args.weight)
+        _test_one(cfg, _resolve_weight(args.weight))
         return
 
     # loop over all categories, average, print LaTeX row
@@ -72,6 +88,7 @@ def main():
         cat_cfg.freeze()
         weight = args.weight.format(cat) if '{}' in args.weight else \
             args.weight
+        weight = _resolve_weight(weight)
         if trainer is None:
             trainer = Trainer(cat_cfg, ckp_dir=os.path.join(
                 cfg.exp.ckp_dir, '_test_tmp'), resume=False, quiet=True)

@@ -61,6 +61,10 @@ def main():
         cfg.exp.bf16 = args.bf16
     if args.vis >= 0:
         cfg.exp.val_sample_vis = args.vis
+    if os.environ.get('MPA_SEED'):
+        # per-dup seed from scripts/dup_run.sh (env, not --opts, so it
+        # composes with a caller's own --opts overrides)
+        cfg.exp.seed = int(os.environ['MPA_SEED'])
 
     cfg_name = os.path.splitext(os.path.basename(args.cfg_file))[0]
     ckp_dir = args.ckp_dir or os.path.join(
