@@ -25,6 +25,7 @@ def main():
     p.add_argument('--data_dir', required=True)
     p.add_argument('--ckp_dir', required=True)
     p.add_argument('--out', required=True)
+    p.add_argument('--mode', default='packed', choices=['packed', 'slots'])
     args = p.parse_args()
 
     # 2 virtual CPU devices per process; must be set before jax backend init
@@ -60,6 +61,11 @@ def main():
         'category': '', 'rot_range': -1., 'num_pc_points': 24,
         'min_num_part': 2, 'max_num_part': 4, 'shuffle_parts': False,
         'overfit': -1,
+        # slots mode: force the device-sampling slot wire ('auto' keeps
+        # the host wire on the CPU backend) -- the per-batch wire then
+        # carries piece ids and the replicated tables are device_put onto
+        # the GLOBAL (cross-process) mesh
+        'device_sampling': args.mode == 'slots',
     })
     cfg.optimizer = CN({'lr': 1e-3, 'weight_decay': 0., 'warmup_ratio': 0.,
                         'clip_grad': None, 'lr_scheduler': 'cosine',
@@ -85,15 +91,47 @@ def main():
     assert ds.wire_shards == 2, ds.wire_shards  # 4-device axis / 2 hosts
     assert ds.fixed_kpad
     raw = ds.collate_batch([0, 1, 2, 3])
-    assert raw['part_counts'].shape == (2, 2)       # [D_local, Bs]
-    assert raw['part_pcs_raw__packed'].shape[0] == 2
+    if args.mode == 'slots':
+        # device-sampling slot wire active on every rank (VERDICT r4 #8)
+        assert ds._device_tables is not None
+        assert raw['part_slots__packed'].shape[0] == 2  # [D_local, Kpad]
+    else:
+        assert ds._device_tables is None
+        assert raw['part_counts'].shape == (2, 2)   # [D_local, Bs]
+        assert raw['part_pcs_raw__packed'].shape[0] == 2
+
+    def param_sum(state):
+        """Exact (order-stable f64 host) parameter checksum."""
+        import numpy as np
+        leaves = jax.tree_util.tree_leaves(state.params)
+        return float(sum(np.abs(np.asarray(x, np.float64)).sum()
+                         for x in leaves))
 
     trainer.fit()  # 1 epoch: train steps + validate + Orbax checkpoint
     metrics = trainer.validate(0)  # all-reduced across hosts
+    sum_final = param_sum(trainer.state)
     trainer.close()
 
+    # mid-run resume across BOTH processes: a fresh Trainer restores the
+    # multiprocess Orbax checkpoint to the EXACT trained parameters and
+    # keeps evaluating (the reference exercises DDP resume on every
+    # requeued run).  Eval metrics are rng-stream dependent (MoN noise),
+    # so the bit-level evidence is the parameter checksum.
+    trainer2 = Trainer(cfg, ckp_dir=args.ckp_dir, resume=True, quiet=True)
+    assert trainer2.start_epoch == 1, trainer2.start_epoch
+    if args.mode == 'slots':
+        assert trainer2.train_loader.dataset._device_tables is not None
+    sum_resumed = param_sum(trainer2.state)
+    resumed = trainer2.validate(0)
+    trainer2.close()
+
     with open(args.out, 'w') as f:
-        json.dump({k: float(v) for k, v in metrics.items()}, f)
+        json.dump({
+            'final': {k: float(v) for k, v in metrics.items()},
+            'resumed': {k: float(v) for k, v in resumed.items()},
+            'param_sum_final': sum_final,
+            'param_sum_resumed': sum_resumed,
+        }, f)
     print(f'worker {args.process_id}: OK', flush=True)
 
 

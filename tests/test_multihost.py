@@ -40,7 +40,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_train(tmp_path):
+def _run_two_process(tmp_path, mode):
     # 8 shapes -> 4 per host shard -> one batch of 4 per host per epoch
     root = tmp_path / 'bb'
     rng = np.random.default_rng(0)
@@ -68,7 +68,7 @@ def test_two_process_train(tmp_path):
              '--coordinator', f'localhost:{port}',
              '--num_processes', '2', '--process_id', str(pid),
              '--data_dir', str(root), '--ckp_dir', str(ckp),
-             '--out', str(out)],
+             '--out', str(out), '--mode', mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env))
     logs = []
     for p in procs:
@@ -85,10 +85,33 @@ def test_two_process_train(tmp_path):
     # cross-host metric reduction: both hosts must report identical values
     m0 = json.load(open(outs[0]))
     m1 = json.load(open(outs[1]))
-    assert m0.keys() == m1.keys() and 'val/part_acc' in m0
-    for k in m0:
-        assert abs(m0[k] - m1[k]) < 1e-9, (k, m0[k], m1[k])
-    assert np.isfinite(m0['val/loss'])
+    for scope in ('final', 'resumed'):
+        assert m0[scope].keys() == m1[scope].keys()
+        assert 'val/part_acc' in m0[scope]
+        for k in m0[scope]:
+            assert abs(m0[scope][k] - m1[scope][k]) < 1e-9, \
+                (scope, k, m0[scope][k], m1[scope][k])
+    assert np.isfinite(m0['final']['val/loss'])
+
+    # the mid-run resume (fresh Trainer, restored multiprocess Orbax ckpt)
+    # restored the EXACT trained parameters on both ranks (eval metrics
+    # are rng-stream dependent -- MoN noise -- so the bit-level evidence
+    # is the checksum) and kept evaluating to finite metrics
+    for m in (m0, m1):
+        assert m['param_sum_resumed'] == m['param_sum_final'], \
+            (m['param_sum_resumed'], m['param_sum_final'])
+    assert np.isfinite(m0['resumed']['val/loss'])
 
     # multiprocess Orbax checkpoint landed
     assert (ckp / 'models').exists()
+
+
+def test_two_process_train(tmp_path):
+    _run_two_process(tmp_path, 'packed')
+
+
+def test_two_process_train_slot_wire(tmp_path):
+    """Device-sampling slot wire + Orbax resume across 2 processes
+    (VERDICT r4 next-8): tables on the global mesh, piece-id wire, and a
+    cross-process checkpoint restore to identical eval metrics."""
+    _run_two_process(tmp_path, 'slots')
