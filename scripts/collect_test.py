@@ -35,6 +35,8 @@ def main():
     parser.add_argument('--ckp_dirs', required=True, nargs='+',
                         help='run dirs; may contain {} for category')
     parser.add_argument('--category', type=str, default='all')
+    parser.add_argument('--opts', nargs='*', default=[],
+                        help='config overrides: key value [key value ...]')
     args = parser.parse_args()
 
     from multi_part_assembly_tpu.parallel import init_distributed
@@ -43,6 +45,8 @@ def main():
     from multi_part_assembly_tpu.utils import load_cfg_file
 
     cfg = load_cfg_file(args.cfg_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
     categories = list(cfg.data.all_category) if args.category == 'all' \
         else [args.category]
 
