@@ -658,10 +658,18 @@ class Trainer:
             metrics={k: float(v) for k, v in metrics.items()})
 
     def load_weights(self, path):
-        """Load a bare checkpoint directory saved by save_checkpoint."""
+        """Load a bare checkpoint directory saved by save_checkpoint.
+
+        Accepts either the pytree item dir itself or a CheckpointManager
+        STEP dir (`models/<epoch>`, which holds `default/` + `metrics/`
+        items) — the manager layout is what `test.py --weight
+        checkpoint/run-{}` resolves to."""
+        path = os.path.abspath(path)
+        if os.path.isdir(os.path.join(path, 'default')):
+            path = os.path.join(path, 'default')
         ckptr = ocp.StandardCheckpointer()
         target = {'state': self.state, 'epoch': 0}
-        restored = ckptr.restore(os.path.abspath(path), target)
+        restored = ckptr.restore(path, target)
         self.state = restored['state']
 
     # ------------------------------------------------------------------

@@ -144,6 +144,7 @@ def check_family(name, spec, args, data_dir):
     if spec.get('task') != 'semantic':
         # geometry-only knob (the partnet schema has no rot_range)
         opts += ['data.rot_range', '0.5']
+    opts += list(args.extra_opts)
 
     try:
         if spec.get('eval_only'):
@@ -220,6 +221,9 @@ def main():
                     choices=['all', 'geometry', 'semantic'],
                     help='restrict --matrix to one task type')
     ap.add_argument('--keep', action='store_true')
+    ap.add_argument('--extra_opts', nargs='*', default=[],
+                    help='extra config overrides appended to every run '
+                    '(A/B knobs, e.g. model.merge_node False)')
     ap.add_argument('--mon', action='store_true',
                     help='keep the config MoN settings (sample_iter/'
                     'noise_dim) instead of forcing sample_iter=1')
