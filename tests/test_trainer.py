@@ -293,3 +293,68 @@ def test_jsonl_logger(tmp_path):
     rec = json.loads(open(os.path.join(str(tmp_path),
                                        'metrics.jsonl')).read())
     assert rec == {'a': 1.5, 'b': 2.5, 'step': 3}
+
+
+def test_wandb_logger_payloads(tmp_path, monkeypatch):
+    """Mock-module coverage of the wandb mirror (VERDICT r4 weak-7): the
+    package is absent in this image, so the branch otherwise only ever
+    runs its degrade path.  Asserts the scalar payloads are numeric-only
+    with int steps and the Object3D uploads are [P*N, 6] xyzrgb."""
+    import sys
+    import types
+
+    calls = {'log': [], 'finish': 0, 'init': []}
+
+    class FakeRun:
+        def log(self, payload, step=None):
+            calls['log'].append((payload, step))
+
+        def finish(self):
+            calls['finish'] += 1
+
+    class FakeObject3D:
+        def __init__(self, arr):
+            arr = np.asarray(arr)
+            assert arr.ndim == 2 and arr.shape[1] == 6, arr.shape
+            assert np.isfinite(arr).all()
+            self.arr = arr
+
+    fake = types.ModuleType('wandb')
+    fake.init = lambda **kw: (calls['init'].append(kw), FakeRun())[1]
+    fake.Object3D = FakeObject3D
+    monkeypatch.setitem(sys.modules, 'wandb', fake)
+
+    from multi_part_assembly_tpu.train.trainer import WandbLogger
+    lg = WandbLogger(str(tmp_path), quiet=True, project='proj',
+                     run_name='run')
+    assert calls['init'][0]['project'] == 'proj'
+    assert calls['init'][0]['name'] == 'run'
+
+    # scalars: non-numerics dropped, step coerced to int
+    lg.log({'a': 1.5, 'b': np.float32(2.5), 'note': 'skip-me'},
+           step=np.int64(7))
+    payload, step = calls['log'][-1]
+    assert payload == {'a': 1.5, 'b': 2.5} and step == 7
+    assert all(isinstance(v, float) for v in payload.values())
+
+    # assemblies: gt + one entry per MoN sample, [P*N, 6] points
+    B, P, N = 2, 3, 16
+    rng = np.random.default_rng(0)
+    gt = rng.standard_normal((B, P, N, 3)).astype(np.float32)
+    preds = [gt + 0.1, gt + 0.2]
+    valids = np.array([[1, 1, 0], [1, 1, 1]], np.float32)
+    colors = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    lg.log_assemblies('val', gt, preds, valids, colors, step=9,
+                      max_shapes=2)
+    payload, step = calls['log'][-1]
+    assert step == 9
+    assert set(payload) == {'val/gt_0', 'val/pred0_0', 'val/pred1_0',
+                            'val/gt_1', 'val/pred0_1', 'val/pred1_1'}
+    # shape b=0 has 2 valid parts (prefix), b=1 has 3
+    assert payload['val/gt_0'].arr.shape == (2 * N, 6)
+    assert payload['val/gt_1'].arr.shape == (3 * N, 6)
+    # rgb columns carry the per-part colors
+    assert np.allclose(payload['val/gt_1'].arr[:N, 3:], colors[0])
+
+    lg.close()
+    assert calls['finish'] == 1
