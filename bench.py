@@ -239,6 +239,25 @@ def _chamfer_flops_per_step(cfg, dataset):
 
 
 def bench_one(name, spec, n_iters=50):
+    """Run one row with guaranteed teardown.
+
+    Rows run sequentially in ONE process (the driver invokes bench.py
+    once); without teardown each finished row leaves its producer threads
+    parked on a full prefetch queue holding batches, the native mesh
+    registry resident, and its HBM tables alive -- by the later rows the
+    1-core host and the chip carry every earlier row's leftovers."""
+    cleanup = []
+    try:
+        return _bench_one(name, spec, n_iters, cleanup)
+    finally:
+        for fn in reversed(cleanup):
+            try:
+                fn()
+            except Exception:  # noqa: BLE001 -- teardown must not mask rows
+                pass
+
+
+def _bench_one(name, spec, n_iters, cleanup):
     import jax
     n_iters = int(os.environ.get('MPA_BENCH_ITERS', n_iters))
 
@@ -268,6 +287,9 @@ def bench_one(name, spec, n_iters=50):
     mesh = make_mesh(batch_size=B)
     model = build_model(cfg)
     train_loader, _ = build_dataloader(cfg)
+    sampler = getattr(train_loader.dataset, 'sampler', None)
+    if sampler is not None and hasattr(sampler, 'close'):
+        cleanup.append(sampler.close)  # evict the native registry
     if cfg.data.dataset == 'geometry':
         # lay the fast wire out for the mesh's data axis (no-op on 1 chip)
         from multi_part_assembly_tpu.datasets.geometry import \
@@ -375,6 +397,7 @@ def bench_one(name, spec, n_iters=50):
             epoch += 1
 
     stream = batches()
+    cleanup.append(stream.close)  # sets the loader's stop event
     host_first = next(stream)
     # init needs an augmented batch (part_pcs present); the timed loop
     # feeds raw batches so augmentation runs fused inside the step

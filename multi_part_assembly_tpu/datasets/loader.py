@@ -105,6 +105,20 @@ class DataLoader:
         q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(out_q, item):
+            """Stop-aware enqueue: a plain blocking put on a full queue
+            parks the producer FOREVER once the consumer abandons the
+            iterator (generator close sets `stop` but nothing drains), so
+            every finished epoch/row would leak a thread pinning its
+            prefetched batches.  Returns False when stopped."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce(out_q):
             # items fetch in a worker pool (the native mesh sampler and
             # numpy both release the GIL, so threads scale ~linearly)
@@ -123,11 +137,12 @@ class DataLoader:
                             items = list(fetch(
                                 lambda i: self.dataset[int(i)], b))
                             batch = self._collate(items)
-                        out_q.put(batch)
+                        if not put_or_stop(out_q, batch):
+                            return
                     except Exception as e:  # surface errors to the consumer
-                        out_q.put(e)
+                        put_or_stop(out_q, e)
                         return
-                out_q.put(None)
+                put_or_stop(out_q, None)
             finally:
                 if pool:
                     pool.shutdown(wait=False)
@@ -147,18 +162,24 @@ class DataLoader:
                 def flush_tail():
                     # epoch-tail remainder: per-batch path
                     for it in pend:
-                        q.put(self.transform(it) if self.transform else it)
+                        put_or_stop(
+                            q, self.transform(it) if self.transform else it)
                     pend.clear()
 
                 while True:
-                    item = q1.get()
+                    try:  # stop-aware: produce() may stop sentinel-less
+                        item = q1.get(timeout=0.2)
+                    except queue.Empty:
+                        if stop.is_set():
+                            return
+                        continue
                     if item is None or isinstance(item, Exception):
                         try:
                             flush_tail()
                         except Exception as e:
-                            q.put(e)
+                            put_or_stop(q, e)
                             return
-                        q.put(item)
+                        put_or_stop(q, item)
                         return
                     if stop.is_set():
                         return
@@ -172,11 +193,13 @@ class DataLoader:
                             if len(pend) == self.group_size:
                                 group = self.group_transform(list(pend))
                                 pend.clear()
-                                q.put(group)
+                                if not put_or_stop(q, group):
+                                    return
                         else:
-                            q.put(self.transform(item))
+                            if not put_or_stop(q, self.transform(item)):
+                                return
                     except Exception as e:
-                        q.put(e)
+                        put_or_stop(q, e)
                         return
 
             ta = threading.Thread(target=produce, args=(q1, ), daemon=True)
