@@ -86,11 +86,28 @@ FAMILIES = {
         cfg='configs/lstm/lstm-32x1-cosine_200e-partnet_chair.py',
         task='semantic', epochs=1000, threshold=0.75),
     'dgl_partnet': dict(
+        # round-5 investigation (VERDICT r4 next-3): 400ep 0.792, 800ep
+        # 0.812 val -- but the 8-shape/16-valid-part val set quantizes
+        # part_acc in 1/16 steps and the SAME best checkpoint scores
+        # 0.958 on test; a merge_node on/off A/B gives a trajectory-
+        # identical curve (0.604/0.75/0.812/0.792), ruling the merge
+        # path out.  Slow memorization, not a parity bug (ROADMAP #11).
         cfg='configs/dgl/dgl-32x1-cosine_300e-partnet_chair.py',
-        task='semantic', epochs=400, threshold=0.75),
+        task='semantic', epochs=800, threshold=0.8),
     'rgl_net_partnet': dict(
+        # slowest semantic memorizer: 1600ep -> 0.854, 3200 -> 1.0
+        # (round 5; pure budget artifact, same as the geometry row)
         cfg='configs/rgl_net/rgl_net-32x1-cosine_300e-partnet_chair.py',
-        task='semantic', epochs=1600, threshold=0.75),
+        task='semantic', epochs=3200, threshold=0.9),
+    # MoN with the reference's semantic recipe (sample_iter=5 stochastic
+    # regressor draws + 32-d noise, semantic_loss.py:13-22) trained to
+    # convergence: round-5 measured best_val 1.0 / test 0.917 at the
+    # standard budget -- the per-sample argmin selection (base_model.py:
+    # 348-387) trains, not just compiles (VERDICT r4 missing-3)
+    'pn_transformer_partnet_mon': dict(
+        cfg='configs/pn_transformer/pn_transformer/'
+            'pn_transformer-32x1-cosine_400e-partnet_chair.py',
+        task='semantic', epochs=400, threshold=0.9, mon=True),
     'identity_partnet': dict(
         cfg='configs/identity/identity-32x1-cosine_200e-partnet_chair.py',
         task='semantic', eval_only=True),
@@ -135,11 +152,12 @@ def check_family(name, spec, args, data_dir):
         'loss.trans_loss_w', '10.',
         'exp.ckp_dir', os.path.join(work, 'cli_tmp'),
     ]
-    if not args.mon:
+    if not (args.mon or spec.get('mon')):
         # default rows force MoN off so families converge on one CPU
-        # budget; --mon keeps the config's sample_iter/noise_dim (the
-        # reference semantic recipe: sample_iter=5, noise_dim=32,
-        # semantic_loss.py:13-22) to validate MoN training dynamics
+        # budget; --mon (or a spec's mon=True) keeps the config's
+        # sample_iter/noise_dim (the reference semantic recipe:
+        # sample_iter=5, noise_dim=32, semantic_loss.py:13-22) to
+        # validate MoN training dynamics
         opts += ['loss.sample_iter', '1']
     if spec.get('task') != 'semantic':
         # geometry-only knob (the partnet schema has no rot_range)
