@@ -116,9 +116,14 @@ class MaskedBatchNorm(nn.Module):
                 var = jnp.mean((xs - mean)**2, axis=reduce_axes)
                 denom = jnp.asarray(float(np_prod(x.shape[:-1])), jnp.float32)
             else:
-                w = jnp.broadcast_to(mask[..., None].astype(jnp.float32),
-                                     xs.shape)
-                denom = jnp.maximum(jnp.sum(w, axis=reduce_axes), 1.0)
+                # keep w BROADCASTABLE (never broadcast_to xs.shape): the
+                # multiplies fuse into the reductions under jit, and the
+                # weight total is sum(mask) x the per-mask-element fan-out
+                # -- materializing w at a [B*P, npoint, nsample, C] shape
+                # cost ~10GB on the pointnet2 init (round 5)
+                w = mask[..., None].astype(jnp.float32)
+                fan = float(np_prod(xs.shape[:-1]) // np_prod(w.shape[:-1]))
+                denom = jnp.maximum(jnp.sum(w) * fan, 1.0)
                 mean = jnp.sum(xs * w, axis=reduce_axes) / denom
                 var = jnp.sum(w * (xs - mean)**2, axis=reduce_axes) / denom
             if not self.is_initializing():

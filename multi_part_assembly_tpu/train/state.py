@@ -56,7 +56,13 @@ def create_train_state(model, cfg, sample_batch, rng, steps_per_epoch=1):
                  'noise': jax.random.fold_in(rng, 1),
                  'dropout': jax.random.fold_in(rng, 2)}
     data = dict(sample_batch)
-    variables = model.init(init_rngs, data, train=True)
+    # jit the init: flax Module.init otherwise executes op-by-op, and the
+    # big grouped encoders (pointnet2/dgcnn) materialize every broadcast
+    # at full shape eagerly -- a [B*P, npoint, nsample, C] BN mask alone
+    # is ~10GB on the everyday config (measured OOM at init, round 5);
+    # under jit XLA fuses them into the reductions like the train step
+    variables = jax.jit(
+        lambda rngs, d: model.init(rngs, d, train=True))(init_rngs, data)
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
     tx, schedule = build_optimizer(cfg, steps_per_epoch, params)
