@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ...utils.precision import compute_dtype as _global_compute_dtype
 
-from ...ops.knn import get_graph_feature
+from ...ops.knn import get_graph_feature, knn
 from ...ops.sampling import (ball_query, furthest_point_sample, gather_points,
                              group_points, three_interpolate, three_nn)
 from .norm import MaskedBatchNorm
@@ -55,12 +55,47 @@ class PointNet(nn.Module):
         return x
 
 
+def _dgcnn_block_rows(B, N, k, width, dtype_bytes=2,
+                      budget=512 * 1024 * 1024):
+    """Largest divisor of N whose [B, rows, k, width] block fits `budget`.
+
+    Returns None when the FULL [B, N, k, width] tensor fits (no chunking
+    needed).  MPA_DGCNN_BLOCK overrides: '0' forces the full path, an int
+    caps the block size."""
+    import os
+    env = os.environ.get('MPA_DGCNN_BLOCK', '')
+    if env == '0':
+        return None
+    target = budget // max(1, B * k * width * dtype_bytes)
+    if env:
+        target = min(target, int(env))
+    if target >= N:
+        return None if not env else N
+    target = max(1, int(target))
+    for rows in range(min(target, N), 0, -1):
+        if N % rows == 0:
+            return rows
+    return 1
+
+
 class DGCNN(nn.Module):
     """DGCNN: 4 EdgeConv stages + fuse conv, max||avg global pool + FC
     (reference encoder/dgcnn.py:41-109, k=20).
 
     The kNN graph is built in f32 (distance ordering needs it); the
-    EdgeConv MLP path runs in bf16 with f32 BN stats."""
+    EdgeConv MLP path runs in bf16 with f32 BN stats.
+
+    Memory-bounded execution: the full edge tensor is [B*P, N, k, 2C] --
+    26GB f32 at the everyday flagship shape (640 parts x 1000 points x
+    k=20 x 512 channels), far over a v5e's 16GB HBM (the reference pays
+    the same blowup on GPU, dgcnn.py:18-38).  When a stage's edge tensor
+    exceeds ~512MB the stage runs as an nn.scan over point blocks: one
+    rematerialized stats pass accumulates the exact global BN moments
+    block-by-block, MaskedBatchNorm ingests them (stats=...) to keep
+    running-stat tracking identical, and a second rematerialized scan
+    applies conv+BN+activation+k-max per block.  Peak memory is one
+    block; results match the unchunked path to f32-accumulation order
+    (E[x^2]-E[x]^2 moments; test_models pins equality)."""
 
     feat_dim: int
     global_feat: bool = True
@@ -74,15 +109,28 @@ class DGCNN(nn.Module):
         point_mask = None if mask is None else mask[..., None]
         cdt = self.compute_dtype or _global_compute_dtype()
 
+        if self.is_initializing() and x.shape[1] > 4 * self.k:
+            # param shapes are N-independent: init on a small point slice
+            # through the plain path (the giant edge tensors would
+            # otherwise be materialized once just to create params)
+            x = x[:, :4 * self.k]
+
         feats = []
         h = x
         for i, d in enumerate((64, 64, 128, 256)):
-            e = get_graph_feature(h.astype(jnp.float32), k=self.k)
-            e = nn.Dense(d, use_bias=False, dtype=cdt,
-                         name=f'conv{i + 1}')(e.astype(cdt))
-            e = MaskedBatchNorm(name=f'bn{i + 1}')(e, edge_mask, train)
-            e = nn.leaky_relu(e, 0.2)
-            h = jnp.max(e, axis=2)  # [B, N, d]
+            B, N, C = h.shape
+            rows = None if self.is_initializing() else _dgcnn_block_rows(
+                B, N, self.k, max(2 * C, d))
+            if rows is not None and rows < N:
+                h = self._edge_stage_chunked(h, d, i, edge_mask, train,
+                                             cdt, rows)
+            else:
+                e = get_graph_feature(h.astype(jnp.float32), k=self.k)
+                e = nn.Dense(d, use_bias=False, dtype=cdt,
+                             name=f'conv{i + 1}')(e.astype(cdt))
+                e = MaskedBatchNorm(name=f'bn{i + 1}')(e, edge_mask, train)
+                e = nn.leaky_relu(e, 0.2)
+                h = jnp.max(e, axis=2)  # [B, N, d]
             feats.append(h)
 
         h = jnp.concatenate(feats, axis=-1)  # [B, N, 512]
@@ -96,6 +144,69 @@ class DGCNN(nn.Module):
                 [jnp.max(h, axis=1), jnp.mean(h, axis=1)], axis=-1)
             return nn.Dense(self.feat_dim, name='out_fc')(g)
         return h
+
+    def _edge_stage_chunked(self, h, d, i, edge_mask, train, cdt, rows):
+        """One EdgeConv stage as nn.scan over [B, rows, k, *] blocks.
+
+        Bit-level caveat vs the plain path: moments accumulate block-wise
+        in f32 (different summation order) and var = E[z^2] - E[z]^2
+        (clamped at 0) instead of E[(z-mean)^2]; everything else (conv,
+        affine, leaky_relu, k-max) is the same computation."""
+        B, N, C = h.shape
+        hf = h.astype(jnp.float32)
+        nb = N // rows
+        # knn's live block is [B, rows, N] f32 (k=1 x width=N in the
+        # budget formula); None -> the full Gram fits
+        idx = knn(hf, self.k,
+                  rows_per_block=_dgcnn_block_rows(B, N, 1, N,
+                                                   dtype_bytes=4))
+        xs = (idx.reshape(B, nb, rows, self.k).transpose(1, 0, 2, 3),
+              hf.reshape(B, nb, rows, C).transpose(1, 0, 2, 3))
+        conv_kw = dict(use_bias=False, dtype=cdt, name=f'conv{i + 1}')
+        w4 = None if edge_mask is None else \
+            edge_mask[..., None].astype(jnp.float32)  # [B, 1, 1, 1]
+
+        def edge_block(blk, mdl):
+            idx_blk, hq = blk
+            e = get_graph_feature(hf, k=self.k, idx=idx_blk, xq=hq)
+            return nn.Dense(d, **conv_kw, parent=mdl)(e.astype(cdt))
+
+        stats = None
+        if train:
+            def pass_a(mdl, carry, blk):
+                zf = edge_block(blk, mdl).astype(jnp.float32)
+                if w4 is not None:
+                    zf = zf * w4
+                    # w4 is 0/1 so zf*zf keeps the same weighting
+                return (carry[0] + jnp.sum(zf, axis=(0, 1, 2)),
+                        carry[1] + jnp.sum(zf * zf, axis=(0, 1, 2))), None
+            scan_a = nn.scan(nn.remat(pass_a), variable_broadcast='params',
+                             split_rngs={'params': False}, in_axes=0)
+            zero = jnp.zeros((d, ), jnp.float32)
+            (tot, tot2), _ = scan_a(self, (zero, zero), xs)
+            if edge_mask is None:
+                denom = jnp.asarray(float(B * N * self.k), jnp.float32)
+            else:
+                denom = jnp.maximum(
+                    jnp.sum(edge_mask.astype(jnp.float32)) * N * self.k,
+                    1.0)
+            mean = tot / denom
+            var = jnp.maximum(tot2 / denom - mean * mean, 0.0)
+            stats = (mean, var, denom)
+
+        factor, offset = MaskedBatchNorm(name=f'bn{i + 1}')(
+            jnp.zeros((1, d)), None, train, stats=stats, affine_only=True)
+
+        def pass_b(mdl, carry, blk):
+            z = edge_block(blk, mdl)
+            z = z * factor.astype(z.dtype) + offset.astype(z.dtype)
+            z = nn.leaky_relu(z, 0.2)
+            return carry, jnp.max(z, axis=2)  # [B, rows, d]
+
+        scan_b = nn.scan(nn.remat(pass_b), variable_broadcast='params',
+                         split_rngs={'params': False}, in_axes=0, out_axes=0)
+        _, ys = scan_b(self, 0.0, xs)
+        return ys.transpose(1, 0, 2, 3).reshape(B, N, d)
 
 
 class _SharedMLP(nn.Module):
@@ -129,31 +240,44 @@ class _SetAbstraction(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, features, mask=None, train=True):
-        """xyz: [B, N, 3]; features: [B, N, C] or None."""
+        """xyz: [B, N, 3]; features: [B, N, C] or None.
+
+        Each scale's group->MLP->pool region runs under nn.remat: the
+        grouped activations ([B*P, npoint, nsample, C] -- up to ~5GB
+        bf16 per layer at the everyday flagship shape, measured OOM when
+        saved for backward) are recomputed in the backward pass, so only
+        the point-level inputs/outputs stay resident.  FPS stays outside
+        (sequential; recomputing it would serialize the backward)."""
+        m = None if mask is None else mask[..., None, None]
         if self.group_all:
-            grouped = xyz[:, None]  # [B, 1, N, 3]
-            if features is not None:
-                grouped = jnp.concatenate(
-                    [grouped, features[:, None]], axis=-1)
-            m = None if mask is None else mask[..., None, None]
-            out = _SharedMLP(self.mlps[0], name='mlp0')(grouped, m, train)
-            return None, jnp.max(out, axis=2)  # [B, 1, C']
+            def stage_all(mdl, xyz_a, feats_a):
+                grouped = xyz_a[:, None]  # [B, 1, N, 3]
+                if feats_a is not None:
+                    grouped = jnp.concatenate(
+                        [grouped, feats_a[:, None]], axis=-1)
+                out = _SharedMLP(self.mlps[0], name='mlp0',
+                                 parent=mdl)(grouped, m, train)
+                return jnp.max(out, axis=2)  # [B, 1, C']
+            return None, nn.remat(stage_all)(self, xyz, features)
 
         fps_idx = furthest_point_sample(xyz, self.npoint)
         new_xyz = gather_points(xyz, fps_idx)  # [B, npoint, 3]
         outs = []
-        m = None if mask is None else mask[..., None, None]
         for i, (r, s, dims) in enumerate(
                 zip(self.radii, self.nsamples, self.mlps)):
-            idx = ball_query(r, s, xyz, new_xyz)  # [B, npoint, s]
-            g_xyz = group_points(xyz, idx) - new_xyz[:, :, None]  # relative
-            if features is not None:
-                g_feat = group_points(features, idx)
-                grouped = jnp.concatenate([g_xyz, g_feat], axis=-1)
-            else:
-                grouped = g_xyz  # use_xyz=True
-            out = _SharedMLP(dims, name=f'mlp{i}')(grouped, m, train)
-            outs.append(jnp.max(out, axis=2))  # [B, npoint, C']
+            def stage(mdl, xyz_a, new_xyz_a, feats_a, r=r, s=s, dims=dims,
+                      i=i):
+                idx = ball_query(r, s, xyz_a, new_xyz_a)  # [B, npoint, s]
+                g_xyz = group_points(xyz_a, idx) - new_xyz_a[:, :, None]
+                if feats_a is not None:
+                    g_feat = group_points(feats_a, idx)
+                    grouped = jnp.concatenate([g_xyz, g_feat], axis=-1)
+                else:
+                    grouped = g_xyz  # use_xyz=True
+                out = _SharedMLP(dims, name=f'mlp{i}',
+                                 parent=mdl)(grouped, m, train)
+                return jnp.max(out, axis=2)  # [B, npoint, C']
+            outs.append(nn.remat(stage)(self, xyz, new_xyz, features))
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
 

@@ -53,7 +53,19 @@ class MaskedBatchNorm(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None, train=True):
+    def __call__(self, x, mask=None, train=True, stats=None,
+                 affine_only=False):
+        """Normalize x, or hand back the affine for external application.
+
+        stats: optional (mean, var, denom) computed by the CALLER (each
+            [C] / [C] / scalar, f32).  The memory-bounded chunked encoder
+            paths accumulate the batch moments block-by-block and inject
+            them here so running-stat tracking and the affine stay in one
+            place; per-replica group stats (set_bn_groups) do not apply
+            to injected stats.
+        affine_only: return (factor, offset) f32 [C] arrays instead of
+            normalizing x (x then only supplies the channel count).
+        """
         features = x.shape[-1]
         ra_mean = self.variable('batch_stats', 'mean',
                                 lambda s: jnp.zeros(s, jnp.float32),
@@ -65,6 +77,13 @@ class MaskedBatchNorm(nn.Module):
         bias = self.param('bias', nn.initializers.zeros, (features, ))
 
         g = _BN_GROUPS if train and not self.is_initializing() else 1
+        if g > 1 and stats is not None:
+            # injected stats are global by construction; per-replica
+            # grouping cannot apply to them (chunked-encoder limitation)
+            import warnings
+            warnings.warn('MaskedBatchNorm: injected stats override the '
+                          'per-replica BN groups; using sync statistics')
+            g = 1
         if g > 1 and x.shape[0] % g:
             # batch axis not divisible into shard groups: fall back to
             # sync stats -- but say so, or sync_bn=False parity quietly
@@ -107,7 +126,15 @@ class MaskedBatchNorm(nn.Module):
             xg = x.reshape((g, -1) + x.shape[1:])
             out = xg * factor.astype(x.dtype) + offset.astype(x.dtype)
             return out.reshape(x.shape)
-        if train:
+        if train and stats is not None:
+            mean, var, denom = stats
+            if not self.is_initializing():
+                var_track = var * denom / jnp.maximum(denom - 1.0, 1.0)
+                ra_mean.value = self.momentum * ra_mean.value + \
+                    (1.0 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + \
+                    (1.0 - self.momentum) * var_track
+        elif train:
             # statistics always in f32, even for bf16 activations
             xs = x.astype(jnp.float32)
             reduce_axes = tuple(range(x.ndim - 1))
@@ -139,6 +166,9 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
+        if affine_only:
+            rstd = jax.lax.rsqrt(var + self.epsilon)
+            return scale * rstd, bias - mean * scale * rstd
         factor = (scale * jax.lax.rsqrt(var + self.epsilon)).astype(x.dtype)
         offset = (bias - mean * scale *
                   jax.lax.rsqrt(var + self.epsilon)).astype(x.dtype)

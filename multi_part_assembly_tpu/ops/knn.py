@@ -13,42 +13,64 @@ import jax.numpy as jnp
 __all__ = ['knn', 'get_graph_feature']
 
 
-def knn(x, k):
+def knn(x, k, rows_per_block=None):
     """Indices of the k nearest neighbors (including self).
 
     Args:
         x: [B, N, C] point features
         k: number of neighbors
+        rows_per_block: optional row-block size (must divide N).  The
+            pairwise Gram matrix is [B, N, N] -- 2.6GB f32 at the
+            everyday flagship shape (B*P=640, N=1000) -- but each row's
+            top-k is independent, so blocking the QUERY axis bounds the
+            live tile to [B, rows, N] with bit-identical results.
 
     Returns:
         [B, N, k] int32 neighbor indices (reference dgcnn.py:8-15, which
         top-k's the negative pairwise distance, ties included)
     """
     x2 = jnp.sum(x * x, axis=-1)
-    inner = jax.lax.dot_general(
-        x, x, (((2, ), (2, )), ((0, ), (0, ))),
-        precision=jax.lax.Precision.HIGHEST)  # [B, N, N]
-    neg_dist = 2.0 * inner - x2[:, :, None] - x2[:, None, :]
-    _, idx = jax.lax.top_k(neg_dist, k)
-    return idx.astype(jnp.int32)
+
+    def block(xq, xq2):
+        inner = jax.lax.dot_general(
+            xq, x, (((2, ), (2, )), ((0, ), (0, ))),
+            precision=jax.lax.Precision.HIGHEST)  # [B, rows, N]
+        neg_dist = 2.0 * inner - xq2[:, :, None] - x2[:, None, :]
+        _, idx = jax.lax.top_k(neg_dist, k)
+        return idx.astype(jnp.int32)
+
+    N = x.shape[1]
+    if rows_per_block is None or rows_per_block >= N:
+        return block(x, x2)
+    assert N % rows_per_block == 0, (N, rows_per_block)
+    return jnp.concatenate(
+        [block(x[:, i:i + rows_per_block], x2[:, i:i + rows_per_block])
+         for i in range(0, N, rows_per_block)], axis=1)
 
 
-def get_graph_feature(x, k=20, idx=None):
+def get_graph_feature(x, k=20, idx=None, xq=None):
     """EdgeConv features [x_j - x_i, x_i] for each of the k neighbors.
 
     Args:
-        x: [B, N, C]
+        x: [B, N, C] neighbor source points
         k: neighborhood size
-        idx: optional precomputed [B, N, k] neighbor indices
+        idx: optional precomputed [B, Nq, k] neighbor indices
+        xq: optional query block [B, Nq, C] (a slice of x); defaults to x.
+            With (xq, idx) slices this computes one query block of the
+            full edge tensor -- the memory-bounded DGCNN path builds the
+            [B, N, k, 2C] tensor block-by-block instead of whole
+            (26GB f32 at the everyday flagship shape).
 
     Returns:
-        [B, N, k, 2C] edge features (channels-last; the reference returns
-        [B, 2C, N, k], dgcnn.py:18-38)
+        [B, Nq, k, 2C] edge features (channels-last; the reference
+        returns [B, 2C, N, k], dgcnn.py:18-38)
     """
-    B, N, C = x.shape
+    if xq is None:
+        xq = x
+    B, Nq, C = xq.shape
     if idx is None:
         idx = knn(x, k)
     neighbors = jnp.take_along_axis(
-        x[:, :, None, :], idx[..., None], axis=1)  # [B, N, k, C]
-    center = jnp.broadcast_to(x[:, :, None, :], (B, N, k, C))
+        x[:, :, None, :], idx[..., None], axis=1)  # [B, Nq, k, C]
+    center = jnp.broadcast_to(xq[:, :, None, :], (B, Nq, k, C))
     return jnp.concatenate([neighbors - center, center], axis=-1)
