@@ -579,6 +579,39 @@ def _tpu_reachable(timeout_s=240):
             '(axon tunnel down?)'
 
 
+def _h2d_probe_mbps():
+    """Measured H2D bandwidth through the runtime, MiB/s (best of 3).
+
+    The tunnel's H2D bandwidth is SESSION-dependent (ROADMAP item 3a:
+    barrier-measured ~90MB/s to >400MB/s across sessions on identical
+    code).  The cold row's packed wire (~1.2MB/batch) scales with it
+    directly -- at 90MB/s the wire alone adds ~13ms/step -- so the
+    driver's capture records the bandwidth it ran under.  Each probe
+    puts FRESH values (the runtime caches repeated computations on
+    argument values) and fetches a scalar (block_until_ready is
+    dispatch-only under the remote runtime; only a fetch forces)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    def timed_put(nelem, val):
+        a = np.full((nelem, ), val, np.float32)
+        t0 = time.perf_counter()
+        float(jnp.sum(jax.device_put(a)[:1]))
+        return time.perf_counter() - t0
+
+    try:
+        timed_put(4, -1.0)  # compile the tiny sum once
+        overhead = min(timed_put(4, float(r)) for r in range(3))
+        nbytes = 8 * 1024 * 1024
+        best = min(timed_put(nbytes // 4, 100.0 + r) for r in range(3))
+        return round((nbytes / (1024.0 * 1024.0))
+                     / max(best - overhead, 1e-6), 1)
+    except Exception:  # noqa: BLE001 -- diagnostics must not kill the bench
+        return None
+
+
 def main():
     if os.environ.get('MPA_PLATFORM', '') != 'cpu' and \
             os.environ.get('MPA_BENCH_SKIP_PROBE', '') != '1':
@@ -594,6 +627,9 @@ def main():
 
     from multi_part_assembly_tpu.parallel import init_distributed
     init_distributed()  # honors MPA_PLATFORM/MPA_NUM_CPU_DEVICES overrides
+    import jax
+    h2d_mbps = _h2d_probe_mbps() \
+        if jax.devices()[0].platform != 'cpu' else None
     only = os.environ.get('MPA_BENCH_MODELS', '')
     names = [n for n in only.split(',') if n] or [
         n for n, s in BENCH_MODELS.items() if not s.get('optional')]
@@ -631,6 +667,11 @@ def main():
         'vs_baseline_note': 'baseline is an ESTIMATE (~150 samples/s, '
                             'A100 fp16); reference publishes no throughput',
         'pipeline': 'loader+native-sampler+H2D+fused-augment included',
+        'h2d_mbps': h2d_mbps,
+        'h2d_note': 'tunnel H2D bandwidth is session-dependent (~90 to '
+                    '>400 MiB/s observed); the COLD row ships ~1.2MB/batch '
+                    'over the host wire, so its ratio to the warm rows '
+                    '(device-sampling wire, KBs/batch) tracks this number',
         'dataset': 'synthetic-everyday v2: 512 shapes, realistic part-count '
                    'mix with a 10-20-part tail (chamfer cost ~P^2; rounds '
                    '<=2 benched an easier 128-shape low-P mix -- cross-round '
