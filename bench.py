@@ -430,6 +430,22 @@ def _bench_one(name, spec, n_iters, cleanup):
     if flops_xla or flops_chamfer:
         flops = (flops_xla or 0.0) + (flops_chamfer or 0.0)
 
+    if os.environ.get('MPA_BENCH_COMPILE_ONLY'):
+        # AOT memory report without executing -- for diagnosing rows that
+        # crash the worker at first execution (compile-time accounting
+        # passed, runtime allocation did not)
+        row = {'compile_only': True}
+        try:
+            ma = train_step.memory_analysis()
+            if isinstance(ma, (list, tuple)):
+                ma = ma[0]
+            for k in ('temp_size_in_bytes', 'argument_size_in_bytes',
+                      'output_size_in_bytes', 'generated_code_size_in_bytes'):
+                row[k] = int(getattr(ma, k, -1))
+        except Exception as e:  # noqa: BLE001
+            row['error'] = f'{type(e).__name__}: {e}'
+        return row
+
     train_step_multi = None
     if spc > 1:
         # switch the producer to grouped mode; the multi step compiles on
