@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ...utils.precision import compute_dtype as _global_compute_dtype
 
-from ...ops.knn import get_graph_feature, knn
+from ...ops.knn import get_graph_feature, knn, neighborhood_reduce
 from ...ops.sampling import (ball_query, furthest_point_sample, gather_points,
                              group_points, three_interpolate, three_nn)
 from .norm import MaskedBatchNorm
@@ -55,24 +55,13 @@ class PointNet(nn.Module):
         return x
 
 
-def _dgcnn_block_rows(B, N, k, width, dtype_bytes=2,
-                      budget=512 * 1024 * 1024):
-    """Largest divisor of N whose [B, rows, k, width] block fits `budget`.
-
-    Returns None when the FULL [B, N, k, width] tensor fits (no chunking
-    needed).  MPA_DGCNN_BLOCK overrides: '0' forces the full path, an int
-    caps the block size."""
-    import os
-    env = os.environ.get('MPA_DGCNN_BLOCK', '')
-    if env == '0':
-        return None
-    target = budget // max(1, B * k * width * dtype_bytes)
-    if env:
-        target = min(target, int(env))
+def _knn_rows(B, N, budget=512 * 1024 * 1024):
+    """Largest divisor of N whose [B, rows, N] f32 Gram block fits
+    `budget` (None -> the full [B, N, N] Gram fits)."""
+    target = budget // max(1, B * N * 4)
     if target >= N:
-        return None if not env else N
-    target = max(1, int(target))
-    for rows in range(min(target, N), 0, -1):
+        return None
+    for rows in range(max(1, int(target)), 0, -1):
         if N % rows == 0:
             return rows
     return 1
@@ -83,23 +72,44 @@ class DGCNN(nn.Module):
     (reference encoder/dgcnn.py:41-109, k=20).
 
     The kNN graph is built in f32 (distance ordering needs it); the
-    EdgeConv MLP path runs in bf16 with f32 BN stats.
+    EdgeConv path runs in bf16 with f32 BN stats.
 
-    Memory-bounded execution: the full edge tensor is [B*P, N, k, 2C] --
-    26GB f32 at the everyday flagship shape (640 parts x 1000 points x
-    k=20 x 512 channels), far over a v5e's 16GB HBM (the reference pays
-    the same blowup on GPU, dgcnn.py:18-38).  When a stage's edge tensor
-    exceeds ~512MB the stage runs as an nn.scan over point blocks: one
-    rematerialized stats pass accumulates the exact global BN moments
-    block-by-block, MaskedBatchNorm ingests them (stats=...) to keep
-    running-stat tracking identical, and a second rematerialized scan
-    applies conv+BN+activation+k-max per block.  Peak memory is one
-    block; results match the unchunked path to f32-accumulation order
-    (E[x^2]-E[x]^2 moments; test_models pins equality)."""
+    TPU-native EdgeConv (round 5): the reference materializes a
+    [B*P, N, k, 2C] edge tensor (26GB f32 at the everyday flagship
+    shape, dgcnn.py:18-38) and pays the k=20x-expanded conv on it.  The
+    whole stage collapses algebraically instead:
+
+        conv([x_j - x_i, x_i]) = x_j W_top + x_i (W_bot - W_top)
+                               = u_j + w_i          (two [B,N,C]->[B,N,d]
+                                                     matmuls, 20x fewer
+                                                     conv FLOPs)
+        BN is per-channel affine  f*z + o  and leaky_relu is monotone, so
+        max_j leaky(f*(u_j + w_i) + o)
+            = leaky(f*(w_i + max_j u_j) + o)   where f >= 0
+            = leaky(f*(w_i + min_j u_j) + o)   where f <  0
+
+    so the k-max pool needs only per-neighborhood max/min of u
+    (ops.knn.neighborhood_reduce), and the train-mode BN batch moments
+    over edges come exactly from the neighborhood sum/sumsq:
+
+        sum_edges z   = sum_i m_i (S_i + k w_i)
+        sum_edges z^2 = sum_i m_i (Q_i + 2 w_i S_i + k w_i^2)
+
+    (S, Q from the same reduce; m = part-validity).  Exact up to f32
+    reassociation vs the reference shape; the monotone-max identity
+    itself is exact.  MaskedBatchNorm ingests the moments (stats=...) so
+    running-stat tracking stays in one place.  The conv params keep the
+    reference [2C, d] layout (transplant-compatible): u and w come from
+    the SAME Dense applied to [h, 0] and [-h, h].
+
+    `naive=True` runs the reference-shaped edge-tensor path (small
+    inputs only; the equality test pins the two paths against each
+    other)."""
 
     feat_dim: int
     global_feat: bool = True
     k: int = 20
+    naive: bool = False  # reference-shaped edge-tensor path (tests)
     compute_dtype: Optional[jnp.dtype] = None  # None -> global precision switch
 
     @nn.compact
@@ -111,26 +121,22 @@ class DGCNN(nn.Module):
 
         if self.is_initializing() and x.shape[1] > 4 * self.k:
             # param shapes are N-independent: init on a small point slice
-            # through the plain path (the giant edge tensors would
-            # otherwise be materialized once just to create params)
+            # (the [B, N, N] Gram would otherwise be built once just to
+            # create params)
             x = x[:, :4 * self.k]
 
         feats = []
         h = x
         for i, d in enumerate((64, 64, 128, 256)):
-            B, N, C = h.shape
-            rows = None if self.is_initializing() else _dgcnn_block_rows(
-                B, N, self.k, max(2 * C, d))
-            if rows is not None and rows < N:
-                h = self._edge_stage_chunked(h, d, i, edge_mask, train,
-                                             cdt, rows)
-            else:
+            if self.naive:
                 e = get_graph_feature(h.astype(jnp.float32), k=self.k)
                 e = nn.Dense(d, use_bias=False, dtype=cdt,
                              name=f'conv{i + 1}')(e.astype(cdt))
                 e = MaskedBatchNorm(name=f'bn{i + 1}')(e, edge_mask, train)
                 e = nn.leaky_relu(e, 0.2)
                 h = jnp.max(e, axis=2)  # [B, N, d]
+            else:
+                h = self._edge_stage(h, d, i, edge_mask, train, cdt)
             feats.append(h)
 
         h = jnp.concatenate(feats, axis=-1)  # [B, N, 512]
@@ -145,51 +151,35 @@ class DGCNN(nn.Module):
             return nn.Dense(self.feat_dim, name='out_fc')(g)
         return h
 
-    def _edge_stage_chunked(self, h, d, i, edge_mask, train, cdt, rows):
-        """One EdgeConv stage as nn.scan over [B, rows, k, *] blocks.
-
-        Bit-level caveat vs the plain path: moments accumulate block-wise
-        in f32 (different summation order) and var = E[z^2] - E[z]^2
-        (clamped at 0) instead of E[(z-mean)^2]; everything else (conv,
-        affine, leaky_relu, k-max) is the same computation."""
+    def _edge_stage(self, h, d, i, edge_mask, train, cdt):
+        """One EdgeConv stage via the collapsed form (class docstring)."""
         B, N, C = h.shape
-        hf = h.astype(jnp.float32)
-        nb = N // rows
-        # knn's live block is [B, rows, N] f32 (k=1 x width=N in the
-        # budget formula); None -> the full Gram fits
-        idx = knn(hf, self.k,
-                  rows_per_block=_dgcnn_block_rows(B, N, 1, N,
-                                                   dtype_bytes=4))
-        xs = (idx.reshape(B, nb, rows, self.k).transpose(1, 0, 2, 3),
-              hf.reshape(B, nb, rows, C).transpose(1, 0, 2, 3))
-        conv_kw = dict(use_bias=False, dtype=cdt, name=f'conv{i + 1}')
-        w4 = None if edge_mask is None else \
-            edge_mask[..., None].astype(jnp.float32)  # [B, 1, 1, 1]
+        idx = knn(h.astype(jnp.float32), self.k,
+                  rows_per_block=_knn_rows(B, N))
 
-        def edge_block(blk, mdl):
-            idx_blk, hq = blk
-            e = get_graph_feature(hf, k=self.k, idx=idx_blk, xq=hq)
-            return nn.Dense(d, **conv_kw, parent=mdl)(e.astype(cdt))
+        conv = nn.Dense(d, use_bias=False, dtype=cdt, name=f'conv{i + 1}')
+        hc = h.astype(cdt)
+        zc = jnp.zeros_like(hc)
+        u = conv(jnp.concatenate([hc, zc], axis=-1))   # x W_top
+        w = conv(jnp.concatenate([-hc, hc], axis=-1))  # x (W_bot - W_top)
+
+        mx, mn, s, q = neighborhood_reduce(u, idx, train)
+        wf = w.astype(jnp.float32)
 
         stats = None
         if train:
-            def pass_a(mdl, carry, blk):
-                zf = edge_block(blk, mdl).astype(jnp.float32)
-                if w4 is not None:
-                    zf = zf * w4
-                    # w4 is 0/1 so zf*zf keeps the same weighting
-                return (carry[0] + jnp.sum(zf, axis=(0, 1, 2)),
-                        carry[1] + jnp.sum(zf * zf, axis=(0, 1, 2))), None
-            scan_a = nn.scan(nn.remat(pass_a), variable_broadcast='params',
-                             split_rngs={'params': False}, in_axes=0)
-            zero = jnp.zeros((d, ), jnp.float32)
-            (tot, tot2), _ = scan_a(self, (zero, zero), xs)
+            k = float(self.k)
+            per_i = s + k * wf                       # sum_j z_ij   per i
+            per_i2 = q + 2.0 * wf * s + k * wf * wf  # sum_j z_ij^2 per i
             if edge_mask is None:
-                denom = jnp.asarray(float(B * N * self.k), jnp.float32)
+                denom = jnp.asarray(float(B * N) * k, jnp.float32)
+                tot = jnp.sum(per_i, axis=(0, 1))
+                tot2 = jnp.sum(per_i2, axis=(0, 1))
             else:
-                denom = jnp.maximum(
-                    jnp.sum(edge_mask.astype(jnp.float32)) * N * self.k,
-                    1.0)
+                mw = edge_mask.astype(jnp.float32)  # [B, 1, 1]
+                denom = jnp.maximum(jnp.sum(mw) * N * k, 1.0)
+                tot = jnp.sum(per_i * mw, axis=(0, 1))
+                tot2 = jnp.sum(per_i2 * mw, axis=(0, 1))
             mean = tot / denom
             var = jnp.maximum(tot2 / denom - mean * mean, 0.0)
             stats = (mean, var, denom)
@@ -197,16 +187,9 @@ class DGCNN(nn.Module):
         factor, offset = MaskedBatchNorm(name=f'bn{i + 1}')(
             jnp.zeros((1, d)), None, train, stats=stats, affine_only=True)
 
-        def pass_b(mdl, carry, blk):
-            z = edge_block(blk, mdl)
-            z = z * factor.astype(z.dtype) + offset.astype(z.dtype)
-            z = nn.leaky_relu(z, 0.2)
-            return carry, jnp.max(z, axis=2)  # [B, rows, d]
-
-        scan_b = nn.scan(nn.remat(pass_b), variable_broadcast='params',
-                         split_rngs={'params': False}, in_axes=0, out_axes=0)
-        _, ys = scan_b(self, 0.0, xs)
-        return ys.transpose(1, 0, 2, 3).reshape(B, N, d)
+        sel = jnp.where(factor >= 0, mx, mn)  # per-channel max/min pick
+        out = nn.leaky_relu(factor * (wf + sel) + offset, 0.2)
+        return out.astype(cdt)
 
 
 class _SharedMLP(nn.Module):

@@ -1,16 +1,44 @@
-"""kNN graph construction and EdgeConv gather for DGCNN.
+"""kNN graph construction and EdgeConv neighborhood ops for DGCNN.
 
 TPU-native counterpart of the reference's `knn`/`get_graph_feature`
 (reference: multi_part_assembly/models/modules/encoder/dgcnn.py:8-38).
 Channels-last layout ([B, N, C]) throughout: the point axis rides the
 128-lane dimension and the pairwise Gram matrix is one MXU matmul; top_k is
 XLA's native sorted reduction.
+
+The EdgeConv stage itself does NOT use `get_graph_feature` on TPU: the
+reference's [B, N, k, 2C] edge tensor (26GB f32 at the everyday flagship
+shape) plus its per-edge conv is algebraically collapsed into two per-point
+projections and `neighborhood_reduce` below -- see
+models/modules/encoders.py DGCNN for the derivation.  `get_graph_feature`
+is kept as the reference-shaped op (tests, custom heads, parity checks).
+
+Gather strategy (measured on v5e, B=320/N=1000/K=20/C=256): XLA's native
+row gather (`jnp.take_along_axis`) lowers to a ~146ms sequential loop,
+while the same gather phrased as a one-hot matmul is pattern-matched by
+XLA into a fast gather (~51ms for 20 slots, 3x) -- and a one-hot matmul
+with exactly one nonzero per row is BIT-EXACT regardless of whether the
+backend gathers or really multiplies (products are 1.0*x and 0.0*x; the
+f32 accumulation of a single nonzero is exact).
 """
+
+import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ['knn', 'get_graph_feature']
+__all__ = ['knn', 'get_graph_feature', 'gather_rows', 'scatter_rows',
+           'neighborhood_reduce']
+
+
+def _knn_block(xq, xq2, x, x2, k):
+    inner = jax.lax.dot_general(
+        xq, x, (((2, ), (2, )), ((0, ), (0, ))),
+        precision=jax.lax.Precision.HIGHEST)  # [B, rows, N]
+    neg_dist = 2.0 * inner - xq2[:, :, None] - x2[:, None, :]
+    _, idx = jax.lax.top_k(neg_dist, k)
+    return idx.astype(jnp.int32)
 
 
 def knn(x, k, rows_per_block=None):
@@ -23,29 +51,136 @@ def knn(x, k, rows_per_block=None):
             pairwise Gram matrix is [B, N, N] -- 2.6GB f32 at the
             everyday flagship shape (B*P=640, N=1000) -- but each row's
             top-k is independent, so blocking the QUERY axis bounds the
-            live tile to [B, rows, N] with bit-identical results.
+            live tile to [B, rows, N] with bit-identical results.  The
+            blocks ride ONE lax.map body (an unrolled concat emitted a
+            per-block copy of the sort program -- code size, round 5).
 
     Returns:
         [B, N, k] int32 neighbor indices (reference dgcnn.py:8-15, which
         top-k's the negative pairwise distance, ties included)
     """
     x2 = jnp.sum(x * x, axis=-1)
-
-    def block(xq, xq2):
-        inner = jax.lax.dot_general(
-            xq, x, (((2, ), (2, )), ((0, ), (0, ))),
-            precision=jax.lax.Precision.HIGHEST)  # [B, rows, N]
-        neg_dist = 2.0 * inner - xq2[:, :, None] - x2[:, None, :]
-        _, idx = jax.lax.top_k(neg_dist, k)
-        return idx.astype(jnp.int32)
-
     N = x.shape[1]
     if rows_per_block is None or rows_per_block >= N:
-        return block(x, x2)
+        return _knn_block(x, x2, x, x2, k)
     assert N % rows_per_block == 0, (N, rows_per_block)
-    return jnp.concatenate(
-        [block(x[:, i:i + rows_per_block], x2[:, i:i + rows_per_block])
-         for i in range(0, N, rows_per_block)], axis=1)
+    nb = N // rows_per_block
+    B, _, C = x.shape
+    xb = jnp.moveaxis(x.reshape(B, nb, rows_per_block, C), 1, 0)
+    xb2 = jnp.moveaxis(x2.reshape(B, nb, rows_per_block), 1, 0)
+    idx = jax.lax.map(
+        lambda a: _knn_block(a[0], a[1], x, x2, k), (xb, xb2))
+    return jnp.moveaxis(idx, 0, 1).reshape(B, N, k)
+
+
+def gather_rows(x, idx):
+    """Row gather [B, N, C] x [B, M] -> [B, M, C] as a one-hot matmul.
+
+    Bit-exact (single nonzero per one-hot row; see module docstring) and
+    3x faster than take_along_axis on TPU.  The dot runs in x's dtype.
+    """
+    oh = jax.nn.one_hot(idx, x.shape[1], dtype=x.dtype)
+    return jax.lax.dot_general(oh, x, (((2, ), (1, )), ((0, ), (0, ))))
+
+
+def scatter_rows(y, idx, n):
+    """Transpose of `gather_rows`: out[b, j] = sum_{i: idx[b,i]=j} y[b,i].
+
+    [B, M, C] x [B, M] -> [B, N, C], phrased as the transposed one-hot
+    matmul so XLA can pattern-match it the same way.  Runs in f32 at
+    HIGHEST precision: one-hot products (1.0 * y, 0.0 * y) and the f32
+    row accumulation are exact under the bf16-split passes, so the
+    result equals an f32 scatter-add (up to add order, like the
+    reference's unordered atomicAdd).
+    """
+    oh = jax.nn.one_hot(idx, n, dtype=jnp.float32)
+    return jax.lax.dot_general(
+        oh, y.astype(jnp.float32), (((1, ), (1, )), ((0, ), (0, ))),
+        precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, ))
+def neighborhood_reduce(u, idx, with_stats=True):
+    """Per-point neighborhood statistics of u over the kNN graph.
+
+    Args:
+        u: [B, N, C] per-point features (bf16 or f32)
+        idx: [B, N, K] int32 neighbor indices (`knn` output)
+        with_stats: also return neighborhood sum and sum-of-squares
+            (needed for train-mode BN moments; skipped in eval)
+
+    Returns:
+        (mx, mn, s, q): each [B, N, C] f32 --
+            mx[i] = max_{j in N(i)} u[j],  mn[i] = min_{j in N(i)} u[j],
+            s[i] = sum u[j], q[i] = sum u[j]^2 (s = q = zeros when
+            with_stats=False).
+
+    This is the TPU-native core of EdgeConv: with the stage conv
+    decomposed as z_ij = u_j + w_i (see encoders.DGCNN), the k-max pool
+    of the BN+leaky stage needs only these per-neighborhood reductions
+    -- the [B, N, K, C] gathered tensor never materializes (fwd OR bwd).
+
+    custom_vjp: reverse-mode through the K-slot scan would store every
+    per-slot carry (20 x [B, N, C] x 4 accumulators).  The backward
+    instead recomputes the slot gathers and routes cotangents with
+    torch's first-argmax tie rule (max/min grads go to the FIRST winning
+    slot in k order; reference autograd routes gather->max the same way).
+    """
+    return _nr_fwd_scan(u, idx, with_stats)
+
+
+def _nr_fwd_scan(u, idx, with_stats):
+    B, N, C = u.shape
+
+    def body(carry, ik):
+        g = gather_rows(u, ik)  # [B, N, C], bit-exact in u's dtype
+        mx = jnp.maximum(carry[0], g)
+        mn = jnp.minimum(carry[1], g)
+        if not with_stats:
+            return (mx, mn), None
+        gf = g.astype(jnp.float32)
+        return (mx, mn, carry[2] + gf, carry[3] + gf * gf), None
+
+    zeros = jnp.zeros((B, N, C), jnp.float32)
+    init = (jnp.full((B, N, C), -jnp.inf, u.dtype),
+            jnp.full((B, N, C), jnp.inf, u.dtype))
+    if with_stats:
+        init = init + (zeros, zeros)
+    out, _ = jax.lax.scan(body, init, jnp.moveaxis(idx, 2, 0))
+    s, q = (out[2], out[3]) if with_stats else (zeros, zeros)
+    return out[0].astype(jnp.float32), out[1].astype(jnp.float32), s, q
+
+
+def _nr_fwd(u, idx, with_stats):
+    mx, mn, s, q = _nr_fwd_scan(u, idx, with_stats)
+    return (mx, mn, s, q), (u, idx, mx.astype(u.dtype), mn.astype(u.dtype))
+
+
+def _nr_bwd(with_stats, residuals, cotangents):
+    u, idx, mx, mn = residuals
+    g_mx, g_mn, g_s, g_q = cotangents
+    B, N, C = u.shape
+
+    def body(carry, ik):
+        gu, cl_mx, cl_mn = carry
+        g = gather_rows(u, ik)
+        win_mx = (g == mx) & ~cl_mx
+        win_mn = (g == mn) & ~cl_mn
+        y = jnp.where(win_mx, g_mx, 0.0) + jnp.where(win_mn, g_mn, 0.0)
+        if with_stats:
+            y = y + g_s + 2.0 * g.astype(jnp.float32) * g_q
+        gu = gu + scatter_rows(y, ik, N)
+        return (gu, cl_mx | win_mx, cl_mn | win_mn), None
+
+    claimed = jnp.zeros((B, N, C), bool)
+    (gu, _, _), _ = jax.lax.scan(
+        body, (jnp.zeros((B, N, C), jnp.float32), claimed, claimed),
+        jnp.moveaxis(idx, 2, 0))
+    g_idx = np.zeros(idx.shape, jax.dtypes.float0)
+    return gu.astype(u.dtype), g_idx
+
+
+neighborhood_reduce.defvjp(_nr_fwd, _nr_bwd)
 
 
 def get_graph_feature(x, k=20, idx=None, xq=None):
@@ -56,14 +191,12 @@ def get_graph_feature(x, k=20, idx=None, xq=None):
         k: neighborhood size
         idx: optional precomputed [B, Nq, k] neighbor indices
         xq: optional query block [B, Nq, C] (a slice of x); defaults to x.
-            With (xq, idx) slices this computes one query block of the
-            full edge tensor -- the memory-bounded DGCNN path builds the
-            [B, N, k, 2C] tensor block-by-block instead of whole
-            (26GB f32 at the everyday flagship shape).
 
     Returns:
         [B, Nq, k, 2C] edge features (channels-last; the reference
-        returns [B, 2C, N, k], dgcnn.py:18-38)
+        returns [B, 2C, N, k], dgcnn.py:18-38).  Reference-shaped op:
+        the shipped DGCNN never materializes this tensor (see
+        `neighborhood_reduce`); kept for parity tests and custom heads.
     """
     if xq is None:
         xq = x

@@ -31,6 +31,8 @@ def main():
     ap.add_argument('--cfg', default=DEFAULT_CFG)
     ap.add_argument('--profile', default='')
     ap.add_argument('--chain', type=int, default=8)
+    ap.add_argument('--opts', nargs='+', default=[],
+                    help='cfg overrides, e.g. --opts model.encoder dgcnn')
     args = ap.parse_args()
 
     import jax
@@ -43,6 +45,8 @@ def main():
     from multi_part_assembly_tpu.utils.precision import configure_precision
 
     cfg = load_cfg_file(args.cfg)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
     cfg.freeze()
     configure_precision(cfg)
     B, P, N = (cfg.exp.batch_size, cfg.data.max_num_part,

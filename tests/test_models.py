@@ -240,46 +240,47 @@ def test_feature_propagation(rng):
     assert np.isfinite(np.asarray(out2)).all()
 
 
-def test_dgcnn_chunked_matches_full(rng, monkeypatch):
-    """The memory-bounded nn.scan EdgeConv path (stats injected into
-    MaskedBatchNorm) matches the plain path in both modes, including the
-    running-stat updates and the gradients (encoders.py
-    _edge_stage_chunked; chunking is what makes the everyday flagship
-    shape fit a 16GB chip at all)."""
+def test_dgcnn_collapsed_matches_naive(rng):
+    """The collapsed EdgeConv path (u_j + w_i decomposition + monotone
+    max/min pull-through + moment-form BN stats; encoders.py DGCNN
+    docstring) matches the reference-shaped edge-tensor path in both
+    modes, including running-stat updates and gradients.  The collapsed
+    form is what makes the everyday flagship shape fit a 16GB chip at
+    all (the edge tensor alone is 26GB f32)."""
     from multi_part_assembly_tpu.models.modules.encoders import DGCNN
 
     x = jnp.asarray(rng.randn(6, 64, 3), jnp.float32)
     mask = jnp.asarray([1, 1, 1, 1, 0, 0], jnp.float32)
     m = DGCNN(feat_dim=32, compute_dtype=jnp.float32)
+    m_naive = DGCNN(feat_dim=32, compute_dtype=jnp.float32, naive=True)
     v = m.init(jax.random.PRNGKey(0), x, mask, train=True)
 
-    def run(block, train):
-        monkeypatch.setenv('MPA_DGCNN_BLOCK', block)
-        return m.apply(v, x, mask, train=train, mutable=['batch_stats'])
-
     for train in (True, False):
-        y_full, st_full = run('0', train)
-        y_chunk, st_chunk = run('16', train)
-        np.testing.assert_allclose(np.asarray(y_full), np.asarray(y_chunk),
+        y_full, st_full = m_naive.apply(v, x, mask, train=train,
+                                        mutable=['batch_stats'])
+        y_new, st_new = m.apply(v, x, mask, train=train,
+                                mutable=['batch_stats'])
+        np.testing.assert_allclose(np.asarray(y_full), np.asarray(y_new),
                                    atol=2e-4)
         for a, b in zip(jax.tree_util.tree_leaves(st_full),
-                        jax.tree_util.tree_leaves(st_chunk)):
+                        jax.tree_util.tree_leaves(st_new)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-4)
 
-    # gradient equality is asserted in EVAL mode, where the chunked
-    # forward is bit-identical (running stats; no batch-moment path): any
-    # scan/remat autodiff bug shows up exactly.  Train-mode grads can
-    # legitimately differ at k-max near-ties (the ~1e-6 moment-form
+    # gradient comparison in EVAL mode (the running-stats affine makes
+    # the two forwards agree to f32 reassociation): any custom_vjp bug in
+    # neighborhood_reduce shows up here.  Train-mode grads can
+    # legitimately differ at k-max near-ties (the moment-form ~1e-6
     # difference flips which of two equal-distance neighbors wins).
-    def loss(params, block):
-        monkeypatch.setenv('MPA_DGCNN_BLOCK', block)
-        out = m.apply({**v, 'params': params}, x, mask, train=False)
-        return (out**2).sum()
+    def loss_with(mdl):
+        def loss(params):
+            out = mdl.apply({**v, 'params': params}, x, mask, train=False)
+            return (out**2).sum()
+        return loss
 
-    g_full = jax.grad(loss)(v['params'], '0')
-    g_chunk = jax.grad(loss)(v['params'], '16')
+    g_full = jax.grad(loss_with(m_naive))(v['params'])
+    g_new = jax.grad(loss_with(m))(v['params'])
     for a, b in zip(jax.tree_util.tree_leaves(g_full),
-                    jax.tree_util.tree_leaves(g_chunk)):
+                    jax.tree_util.tree_leaves(g_new)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-5)
+                                   atol=1e-4, rtol=1e-4)
