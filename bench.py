@@ -95,11 +95,16 @@ BENCH_MODELS = {
         'kind': 'geometry',
         'opts': ['model.encoder', 'dgcnn'],
     },
+    # batch 16: the grouped-MLP forward peak is inherent to the exact
+    # algorithm ([B*P, 512, 64, 128] activations; 13.8GB AOT temp at
+    # batch 32 > the chip) -- the reference OOMs the same way on a 16GB
+    # GPU.  sps is per-sample comparable across batch sizes.
     'pn_transformer_everyday_pn2ssg': {
         'cfg': 'configs/pn_transformer/pn_transformer/'
                'pn_transformer-32x1-cosine_400e-everyday.py',
         'kind': 'geometry',
-        'opts': ['model.encoder', 'pointnet2_ssg'],
+        'opts': ['model.encoder', 'pointnet2_ssg',
+                 'exp.batch_size', '16'],
     },
     # real-scale data-plane stress (VERDICT r4 next-4): ~3200 shapes /
     # ~12.7k pieces with a SKEWED face-count mix (70% small, 5% up to
